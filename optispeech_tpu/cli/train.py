@@ -1,0 +1,89 @@
+"""Training CLI (reference: python -m optispeech.train, optispeech/train.py).
+
+Usage:
+    python -m optispeech_tpu.cli.train --config default --out-dir runs/lj \
+        [data.batch_size=64 ...] [--synthetic] [--fast-dev-run] [--overfit N]
+
+Debug harnesses mirror the reference's configs/debug/ set: --fast-dev-run
+(fdr.yaml), --overfit N (overfit.yaml), --limit FRac (limit.yaml),
+--debug-nans (detect_anomaly).
+"""
+
+import argparse
+
+from ..utils.pylogger import get_pylogger
+from ..utils.yamlcfg import load_experiment
+
+log = get_pylogger("optispeech_tpu.train")
+
+
+def build_loaders(cfg, synthetic: bool, overfit: int, limit: float):
+    from ..data.datamodule import BucketedCollate, DataLoader, SyntheticDataset, TextWavDataset
+
+    collate = BucketedCollate(
+        n_feats=cfg.generator.features.n_feats,
+        statistics=cfg.data.statistics,
+        hop_length=cfg.generator.features.hop_length,
+        text_bucket=cfg.data.text_bucket_size,
+        mel_bucket=cfg.data.mel_bucket_size,
+        max_text_len=cfg.data.max_text_len,
+        max_mel_len=cfg.data.max_mel_len,
+    )
+    if synthetic:
+        train_ds = SyntheticDataset(
+            n_items=max(cfg.data.batch_size * 4, 64),
+            n_feats=cfg.generator.features.n_feats,
+            hop_length=cfg.generator.features.hop_length,
+        )
+        val_ds = SyntheticDataset(
+            n_items=cfg.data.batch_size, n_feats=cfg.generator.features.n_feats,
+            hop_length=cfg.generator.features.hop_length, seed=1,
+        )
+    else:
+        train_ds = TextWavDataset(cfg.data.train_filelist_path,
+                                  f_min=cfg.generator.features.f_min, seed=cfg.data.seed)
+        val_ds = TextWavDataset(cfg.data.valid_filelist_path,
+                                f_min=cfg.generator.features.f_min)
+    if overfit:
+        train_ds.file_paths = train_ds.file_paths[: overfit * cfg.data.batch_size] \
+            if hasattr(train_ds, "file_paths") else train_ds
+        if hasattr(train_ds, "items"):
+            train_ds.items = train_ds.items[: overfit * cfg.data.batch_size]
+    if limit < 1.0 and hasattr(train_ds, "file_paths"):
+        n = max(int(len(train_ds.file_paths) * limit), cfg.data.batch_size)
+        train_ds.file_paths = train_ds.file_paths[:n]
+    train = DataLoader(train_ds, cfg.data.batch_size, collate, shuffle=True, seed=cfg.data.seed)
+    val = DataLoader(val_ds, cfg.data.batch_size, collate, shuffle=False, drop_last=False)
+    return train, val
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Train OptiSpeech-TPU")
+    p.add_argument("--config", default="default")
+    p.add_argument("--out-dir", default=None)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--synthetic", action="store_true", help="use synthetic data (smoke)")
+    p.add_argument("--fast-dev-run", action="store_true")
+    p.add_argument("--overfit", type=int, default=0, help="overfit N batches")
+    p.add_argument("--limit", type=float, default=1.0, help="fraction of train data")
+    p.add_argument("--debug-nans", action="store_true")
+    p.add_argument("overrides", nargs="*", help="dotted config overrides key=value")
+    args = p.parse_args(argv)
+
+    cfg = load_experiment(args.config, args.overrides)
+    out_dir = args.out_dir or f"runs/{cfg.run_name}"
+
+    from ..training.trainer import Trainer
+
+    trainer = Trainer(cfg, out_dir=out_dir, debug_nans=args.debug_nans)
+    train_loader, val_loader = build_loaders(cfg, args.synthetic, args.overfit, args.limit)
+    log.info(f"Training `{cfg.run_name}` -> {out_dir}")
+    state = trainer.fit(
+        train_loader, val_loader, max_steps=args.max_steps, fast_dev_run=args.fast_dev_run
+    )
+    trainer.export_inference_checkpoint(state, f"{out_dir}/inference_ckpt")
+    log.info("Done.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,204 @@
+"""Import reference PyTorch checkpoints into the JAX model.
+
+The BASELINE parity target is mel-L1 <= 1e-2 vs the reference's torch
+checkpoint — that requires loading reference Lightning checkpoints
+(state_dict keys like `generator.encoder.convnext.0.dwconv.weight`,
+/root/reference/optispeech/model/*) into our flax param tree.
+
+Covered: TextEmbedding, ConvNeXt backbones (encoder/decoder/vocoder trunk),
+variance predictors (standard + separable "lite"), LightSpeech backbones,
+alignment module, WaveNeXt vocoder, speaker/language embeddings.
+
+Layout conventions converted:
+- torch Conv1d weight (out, in/groups, k)  -> flax Conv kernel (k, in/groups, out)
+- torch Linear weight (out, in)            -> flax Dense kernel (in, out)
+- torch LayerNorm weight/bias              -> flax scale/bias
+"""
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..utils.pylogger import get_pylogger
+
+log = get_pylogger(__name__)
+
+
+def _conv(w):
+    return np.transpose(np.asarray(w), (2, 1, 0))
+
+
+def _dense(w):
+    return np.transpose(np.asarray(w), (1, 0))
+
+
+def _ln(prefix, get):
+    return {"scale": np.asarray(get(f"{prefix}.weight")), "bias": np.asarray(get(f"{prefix}.bias"))}
+
+
+def _conv_params(prefix, get, bias=True):
+    out = {"kernel": _conv(get(f"{prefix}.weight"))}
+    if bias:
+        out["bias"] = np.asarray(get(f"{prefix}.bias"))
+    return out
+
+
+def _dense_params(prefix, get, bias=True):
+    out = {"kernel": _dense(get(f"{prefix}.weight"))}
+    if bias:
+        out["bias"] = np.asarray(get(f"{prefix}.bias"))
+    return out
+
+
+def _convnext_backbone(prefix, get, num_layers):
+    """ConvNeXtBackbone (reference modules/convnext.py:50-103)."""
+    out = {}
+    for i in range(num_layers):
+        p = f"{prefix}.convnext.{i}"
+        out[f"block_{i}"] = {
+            "dwconv": _conv_params(f"{p}.dwconv", get),
+            "norm": _ln(f"{p}.norm", get),
+            "pwconv1": _dense_params(f"{p}.pwconv1", get),
+            "pwconv2": _dense_params(f"{p}.pwconv2", get),
+            "gamma": np.asarray(get(f"{p}.gamma")),
+        }
+    out["final_layer_norm"] = _ln(f"{prefix}.final_layer_norm", get)
+    return out
+
+
+def _conv_separable(prefix, get):
+    """ConvSeparable (reference modules/layers.py:455-476)."""
+    return {
+        "depthwise": {"kernel": _conv(get(f"{prefix}.depthwise_conv.weight"))},
+        "pointwise": _conv_params(f"{prefix}.pointwise_conv", get),
+    }
+
+
+def _variance_predictor(prefix, get, num_layers, separable):
+    """VariancePredictor (reference modules/core.py:34-97). torch wraps each
+    layer as Sequential(conv, ReLU, LayerNorm, Dropout) -> indices 0 and 2."""
+    out = {}
+    for i in range(num_layers):
+        if separable:
+            out[f"conv_{i}"] = _conv_separable(f"{prefix}.conv.{i}.0", get)
+        else:
+            out[f"conv_{i}"] = _conv_params(f"{prefix}.conv.{i}.0", get)
+        out[f"ln_{i}"] = _ln(f"{prefix}.conv.{i}.2", get)
+    out["linear"] = _dense_params(f"{prefix}.linear", get)
+    return out
+
+
+def _pitch_predictor(prefix, get, num_layers, separable):
+    """PitchPredictor (reference modules/core.py:136-176): predictor + embed
+    conv (torch Sequential index 0)."""
+    return {
+        "predictor": _variance_predictor(f"{prefix}.predictor", get, num_layers, separable),
+        "embed": _conv_params(f"{prefix}.embed.0", get),
+    }
+
+
+def _lightspeech_layers(prefix, get, n_layers, final_ln_key="layer_norm"):
+    out = {}
+    for i in range(n_layers):
+        p = f"{prefix}.layers.{i}"
+        out[f"layer_{i}"] = {
+            "layer_norm": _ln(f"{p}.layer_norm", get),
+            "conv1": _conv_separable(f"{p}.conv1", get),
+            "conv2": _conv_separable(f"{p}.conv2", get),
+        }
+    out[final_ln_key] = _ln(f"{prefix}.layer_norm", get)
+    return out
+
+
+def _alignment(prefix, get):
+    """AlignmentModule (reference alignments.py:14-39)."""
+    return {
+        "t_conv1": _conv_params(f"{prefix}.t_conv1", get),
+        "t_conv2": _conv_params(f"{prefix}.t_conv2", get),
+        "f_conv1": _conv_params(f"{prefix}.f_conv1", get),
+        "f_conv2": _conv_params(f"{prefix}.f_conv2", get),
+        "f_conv3": _conv_params(f"{prefix}.f_conv3", get),
+    }
+
+
+def _backbone(prefix, get, bb_cfg, is_decoder=False):
+    if bb_cfg.kind == "convnext":
+        return _convnext_backbone(prefix, get, bb_cfg.num_layers)
+    if bb_cfg.kind == "lightspeech":
+        out = _lightspeech_layers(prefix, get, len(bb_cfg.kernel_sizes))
+        if is_decoder:
+            out["pos_emb"] = {"scale": np.asarray(get(f"{prefix}.pos_emb.scale"))}
+        return out
+    raise NotImplementedError(
+        f"torch import for backbone kind `{bb_cfg.kind}` is not implemented yet"
+    )
+
+
+def convert_torch_generator_state_dict(state_dict: dict, gen_cfg) -> dict:
+    """Map a reference generator state_dict (numpy values) onto our flax
+    params tree. Keys may carry a `generator.` prefix (Lightning checkpoint)."""
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("generator."):
+            k = k[len("generator."):]
+        sd[k] = np.asarray(v)
+
+    missing = []
+
+    def get(key):
+        if key not in sd:
+            missing.append(key)
+            return np.zeros(())
+        return sd[key]
+
+    params = {
+        "text_embedding": {
+            "embed_tokens": {"embedding": np.asarray(get("text_embedding.embed_tokens.weight"))},
+            "embed_positions": {"scale": np.asarray(get("text_embedding.embed_positions.scale"))},
+        },
+        "encoder": _backbone("encoder", get, gen_cfg.encoder),
+        "decoder": _backbone("decoder", get, gen_cfg.decoder, is_decoder=True),
+        "duration_predictor": {
+            "predictor": _variance_predictor(
+                "duration_predictor", get,
+                gen_cfg.duration_predictor.num_layers, gen_cfg.duration_predictor.separable,
+            )
+        },
+        "pitch_predictor": _pitch_predictor(
+            "pitch_predictor", get,
+            gen_cfg.pitch_predictor.num_layers, gen_cfg.pitch_predictor.separable,
+        ),
+        "energy_predictor": _pitch_predictor(
+            "energy_predictor", get,
+            gen_cfg.energy_predictor.num_layers, gen_cfg.energy_predictor.separable,
+        ),
+        "alignment_module": _alignment("alignment_module", get),
+        "vocoder": {
+            "embed": _conv_params("vocoder.embed", get),
+            "norm": _ln("vocoder.norm", get),
+            "backbone": _convnext_backbone("vocoder.backbone", get, gen_cfg.vocoder.num_layers),
+            "head": {
+                "linear_1": _dense_params("vocoder.head.linear_1", get),
+                "linear_2": _dense_params("vocoder.head.linear_2", get, bias=False),
+            },
+        },
+    }
+    if gen_cfg.num_speakers > 1:
+        params["sid_embed"] = {"embedding": np.asarray(get("sid_embed.weight"))}
+    if gen_cfg.num_languages > 1:
+        params["lid_embed"] = {"embedding": np.asarray(get("lid_embed.weight"))}
+
+    if missing:
+        raise KeyError(f"state_dict missing {len(missing)} keys, e.g. {missing[:5]}")
+    return params
+
+
+def load_torch_checkpoint(path: str, gen_cfg) -> dict:
+    """Load a reference Lightning .ckpt and convert the generator weights."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    np_sd = {k: v.detach().cpu().numpy() for k, v in sd.items()
+             if hasattr(v, "detach") and k.startswith("generator.")}
+    return convert_torch_generator_state_dict(np_sd, gen_cfg)

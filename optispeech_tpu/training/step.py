@@ -1,0 +1,174 @@
+"""The compiled GAN training step.
+
+Capability parity with the reference's manual-optimization Lightning loop
+(/root/reference/optispeech/model/base_lightning_module.py:78-186):
+- generator update: AM loss + (post-pretraining) adversarial/fm/mel/MR-STFT
+  losses through frozen discriminator params,
+- discriminator update on cached generator outputs
+  (train_args.cache_generator_outputs=True path), gated by
+  `step >= pretraining_steps` via `lax.cond`,
+- gradient clipping and AdamW for both, cosine-with-warmup stepped per step.
+
+TPU-first: both updates live in ONE jitted function. Under a
+`jax.sharding.Mesh` the batch arrives sharded on the `data` axis with
+replicated params, so AD of the global-mean loss produces the gradient
+all-reduce automatically over ICI — the Lightning-DDP/NCCL role
+(SURVEY.md section 2.7)."""
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ExperimentConfig
+from ..ops.segments import get_segments
+from .state import TrainState, make_optimizer
+
+
+def make_train_step(cfg: ExperimentConfig, generator, discriminator, optimizer=None):
+    opt = optimizer or make_optimizer(cfg)
+    hop = cfg.generator.features.hop_length
+    segment_size = cfg.generator.segment_size
+    pretraining_steps = cfg.train_args.pretraining_steps
+
+    def g_forward(g_params, d_params, batch, rng, train_discriminator):
+        drng, srng = jax.random.split(rng)
+        gen_out = generator.apply(
+            {"params": g_params},
+            x=batch["x"], x_lengths=batch["x_lengths"], mel=batch["mel"],
+            mel_lengths=batch["mel_lengths"], pitches=batch["pitches"],
+            energies=batch["energies"], sids=batch.get("sids"), lids=batch.get("lids"),
+            deterministic=False, rngs={"dropout": drng, "segment": srng},
+        )
+        wav_hat = gen_out["wav_hat"]
+        # matching GT waveform segment (reference base_lightning_module.py:38-44)
+        wav = get_segments(
+            batch["wav"][:, None, :], gen_out["start_idx"] * hop, segment_size * hop
+        )[:, 0, :]
+
+        def with_adv(_):
+            adv_loss, log = discriminator.apply(
+                {"params": d_params}, wav, wav_hat,
+                method=type(discriminator).forward_gen,
+            )
+            return adv_loss, log
+
+        def without_adv(_):
+            zeros = {k: jnp.zeros(()) for k in (
+                "loss_gen_mp", "loss_gen_mrd", "loss_fm_mp", "loss_fm_mrd",
+                "mel_loss", "mr_stft_loss")}
+            return jnp.zeros(()), zeros
+
+        adv_loss, adv_log = jax.lax.cond(train_discriminator, with_adv, without_adv, None)
+        loss = gen_out["loss"] + adv_loss
+        aux = {
+            "wav": wav,
+            "wav_hat": wav_hat,
+            "log": {
+                "total_loss/train_am_loss": gen_out["loss"],
+                "total_loss/train_gen_adv_loss": adv_loss,
+                "total_loss/generator": loss,
+                "gen_subloss/train_align_loss": gen_out["align_loss"],
+                "gen_subloss/train_duration_loss": gen_out["duration_loss"],
+                "gen_subloss/train_pitch_loss": gen_out["pitch_loss"],
+                "gen_subloss/train_energy_loss": gen_out["energy_loss"],
+                **{f"gen_adv_loss/train_{k}": v for k, v in adv_log.items()},
+            },
+        }
+        return loss, aux
+
+    @jax.jit
+    def train_step(state: TrainState, batch: dict):
+        rng, g_rng = jax.random.split(state.rng)
+        train_disc = state.step >= pretraining_steps
+
+        # ---- generator update --------------------------------------------
+        (g_loss, aux), g_grads = jax.value_and_grad(g_forward, has_aux=True)(
+            state.g_params, state.d_params, batch, g_rng, train_disc
+        )
+        g_updates, g_opt_state = opt.update(g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+        logs = dict(aux["log"])
+        logs["grad_norm/generator"] = optax.global_norm(g_grads)
+
+        # ---- discriminator update (gated by pretraining window) -----------
+        wav = jax.lax.stop_gradient(aux["wav"])
+        wav_hat = jax.lax.stop_gradient(aux["wav_hat"])
+
+        def d_loss_fn(d_params):
+            loss, log = discriminator.apply(
+                {"params": d_params}, wav, wav_hat,
+                method=type(discriminator).forward_disc,
+            )
+            return loss, log
+
+        def update_d(_):
+            (d_loss, d_log), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                state.d_params
+            )
+            d_updates, d_opt_state = opt.update(d_grads, state.d_opt_state, state.d_params)
+            d_params = optax.apply_updates(state.d_params, d_updates)
+            return d_params, d_opt_state, d_loss, d_log, optax.global_norm(d_grads)
+
+        def skip_d(_):
+            zero_log = {"loss_mp": jnp.zeros(()), "loss_mrd": jnp.zeros(())}
+            return state.d_params, state.d_opt_state, jnp.zeros(()), zero_log, jnp.zeros(())
+
+        d_params, d_opt_state, d_loss, d_log, d_gnorm = jax.lax.cond(
+            train_disc, update_d, skip_d, None
+        )
+        logs["total_loss/discriminator"] = d_loss
+        logs.update({f"discriminator/{k}": v for k, v in d_log.items()})
+        logs["grad_norm/discriminator"] = d_gnorm
+
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+            rng=rng,
+        )
+        return new_state, logs
+
+    return train_step
+
+
+def make_val_step(cfg: ExperimentConfig, generator, discriminator):
+    """Validation forward (reference base_lightning_module.py:195-254, minus
+    host-side perceptual metrics which live in training/metrics.py)."""
+    hop = cfg.generator.features.hop_length
+    segment_size = cfg.generator.segment_size
+
+    @jax.jit
+    def val_step(state: TrainState, batch: dict, rng):
+        drng, srng = jax.random.split(rng)
+        gen_out = generator.apply(
+            {"params": state.g_params},
+            x=batch["x"], x_lengths=batch["x_lengths"], mel=batch["mel"],
+            mel_lengths=batch["mel_lengths"], pitches=batch["pitches"],
+            energies=batch["energies"], sids=batch.get("sids"), lids=batch.get("lids"),
+            deterministic=True, rngs={"segment": srng},
+        )
+        wav = get_segments(
+            batch["wav"][:, None, :], gen_out["start_idx"] * hop, segment_size * hop
+        )[:, 0, :]
+        val_loss, val_log = discriminator.apply(
+            {"params": state.d_params}, wav, gen_out["wav_hat"],
+            method=type(discriminator).forward_val,
+        )
+        logs = {
+            "total_loss/val_am_loss": gen_out["loss"],
+            "total_loss/val_gen_adv_loss": val_loss,
+            "gen_subloss/val_align_loss": gen_out["align_loss"],
+            "gen_subloss/val_duration_loss": gen_out["duration_loss"],
+            "gen_subloss/val_pitch_loss": gen_out["pitch_loss"],
+            "gen_subloss/val_energy_loss": gen_out["energy_loss"],
+            **{f"gen_adv_loss/val_{k}": v for k, v in val_log.items()},
+            "total_loss/val_total": gen_out["loss"] + val_loss,
+        }
+        return logs
+
+    return val_step

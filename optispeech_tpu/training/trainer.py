@@ -1,0 +1,169 @@
+"""Training loop orchestration (the reference's Lightning Trainer role, L6/L7).
+
+Capability parity targets (SURVEY.md sections 3.1, 5):
+- two-network GAN loop in one compiled step (training/step.py),
+- periodic validation with structured metric namespaces
+  (total_loss/*, gen_subloss/*, discriminator/*, grad_norm/*),
+- rolling orbax checkpoints of the FULL state (both optimizers, step, RNG),
+  one-call resume, plus inference-checkpoint export,
+- data-parallel mesh with per-step sharded batches,
+- debug knobs: jax debug_nans (the detect_anomaly analogue), overfit-N-batches
+  harness (configs/debug/overfit.yaml analogue), fast_dev_run.
+"""
+
+import json
+import os
+import time
+from typing import Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..models.discriminator.vocos import VocosDiscriminator
+from ..models.generator import OptiSpeechGenerator
+from ..parallel import make_mesh, replicate_state, shard_batch
+from ..utils.pylogger import get_pylogger
+from .checkpoint import TrainCheckpointManager, save_inference_checkpoint
+from .state import init_train_state
+from .step import make_train_step, make_val_step
+
+log = get_pylogger(__name__)
+
+
+class MetricLogger:
+    """CSV + optional TensorBoard metric sink (reference logger capability,
+    configs/logger/*)."""
+
+    def __init__(self, out_dir: str, use_tensorboard: bool = True):
+        os.makedirs(out_dir, exist_ok=True)
+        self.csv_path = os.path.join(out_dir, "metrics.csv")
+        self._csv_keys = None
+        self.tb = None
+        if use_tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.tb = SummaryWriter(out_dir)
+            except ImportError:
+                pass
+
+    def log(self, step: int, metrics: dict):
+        metrics = {k: float(v) for k, v in metrics.items()}
+        if self._csv_keys is None:
+            self._csv_keys = sorted(metrics)
+            with open(self.csv_path, "a") as f:
+                f.write("step," + ",".join(self._csv_keys) + "\n")
+        with open(self.csv_path, "a") as f:
+            f.write(f"{step()}" if callable(step) else f"{step}")
+            f.write("," + ",".join(str(metrics.get(k, "")) for k in self._csv_keys) + "\n")
+        if self.tb is not None:
+            for k, v in metrics.items():
+                self.tb.add_scalar(k, v, step)
+
+    def close(self):
+        if self.tb is not None:
+            self.tb.close()
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig, out_dir: str = "runs/dev",
+                 debug_nans: bool = False, mesh=None):
+        self.cfg = cfg
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        if debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        self.generator = OptiSpeechGenerator(cfg.generator)
+        self.discriminator = VocosDiscriminator(cfg.discriminator, cfg.generator.features)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.num_devices)
+        self.train_step = make_train_step(cfg, self.generator, self.discriminator)
+        self.val_step = make_val_step(cfg, self.generator, self.discriminator)
+        self.metrics = MetricLogger(out_dir)
+        self.ckpt = TrainCheckpointManager(
+            os.path.join(out_dir, cfg.ckpt_dir), keep=cfg.ckpt_keep
+        )
+
+    def init_or_restore_state(self, seed: int = None):
+        state = init_train_state(
+            self.cfg, self.generator, self.discriminator,
+            jax.random.PRNGKey(seed if seed is not None else self.cfg.seed),
+        )
+        restored, step = self.ckpt.restore(jax.device_get(state))
+        if restored is not None:
+            log.info(f"Restored training state from step {step}")
+            state = restored
+        return replicate_state(state, self.mesh)
+
+    def fit(
+        self,
+        train_loader: Iterable,
+        val_loader: Optional[Iterable] = None,
+        max_steps: Optional[int] = None,
+        state=None,
+        fast_dev_run: bool = False,
+    ):
+        cfg = self.cfg
+        max_steps = max_steps or cfg.max_steps
+        if fast_dev_run:
+            max_steps = 1
+        state = state if state is not None else self.init_or_restore_state()
+        step = int(jax.device_get(state.step))
+        t_last = time.perf_counter()
+        steps_since = 0
+        try:
+            while step < max_steps:
+                for batch in train_loader:
+                    batch = shard_batch(self._device_batch(batch), self.mesh)
+                    state, logs = self.train_step(state, batch)
+                    step += 1
+                    steps_since += 1
+                    if step % cfg.log_every_n_steps == 0 or fast_dev_run:
+                        logs = jax.device_get(logs)
+                        dt = time.perf_counter() - t_last
+                        logs["perf/steps_per_sec"] = steps_since / max(dt, 1e-9)
+                        t_last, steps_since = time.perf_counter(), 0
+                        self.metrics.log(step, logs)
+                        log.info(
+                            f"step {step}: g={logs['total_loss/generator']:.4f} "
+                            f"d={logs['total_loss/discriminator']:.4f} "
+                            f"({logs['perf/steps_per_sec']:.2f} it/s)"
+                        )
+                    if val_loader is not None and step % cfg.val_every_n_steps == 0:
+                        self.validate(state, val_loader, step)
+                    if step % cfg.ckpt_every_n_steps == 0 or fast_dev_run:
+                        self.ckpt.save(step, state, cfg)
+                    if step >= max_steps:
+                        break
+        except KeyboardInterrupt:
+            log.info("Interrupted — saving checkpoint before exit")
+        finally:
+            self.ckpt.save(step, state, cfg)
+            self.ckpt.wait()
+            self.metrics.close()
+        return state
+
+    def validate(self, state, val_loader, step: int):
+        rng = jax.random.PRNGKey(step)
+        agg: dict = {}
+        n = 0
+        for batch in val_loader:
+            batch = shard_batch(self._device_batch(batch), self.mesh)
+            logs = jax.device_get(self.val_step(state, batch, rng))
+            for k, v in logs.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            n += 1
+        if n:
+            self.metrics.log(step, {k: v / n for k, v in agg.items()})
+            log.info(f"val @ {step}: total={agg['total_loss/val_total'] / n:.4f}")
+
+    def export_inference_checkpoint(self, state, path: str):
+        save_inference_checkpoint(path, self.cfg, jax.device_get(state.g_params))
+
+    @staticmethod
+    def _device_batch(batch: dict) -> dict:
+        return {
+            k: v for k, v in batch.items()
+            if k in ("x", "wav", "mel", "x_lengths", "wav_lengths", "mel_lengths",
+                     "energies", "pitches", "sids", "lids")
+        }
