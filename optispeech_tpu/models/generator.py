@@ -236,6 +236,20 @@ class OptiSpeechGenerator(nn.Module):
             "y_lengths": y_lengths, "x_mask": x_mask,
         }
 
+    # -- single-graph inference with a static frame cap ---------------------
+    def synthesise_fixed(self, x, x_lengths, sids=None, lids=None,
+                         d_factor: float = 1.0, p_factor: float = 1.0,
+                         e_factor: float = 1.0, n_frames: int = 1024):
+        """Full text->waveform in ONE jitted graph: durations stay on device
+        and the output length is capped at the static `n_frames` bucket. No
+        host sync anywhere — the zero-latency serving path (the two-stage
+        `encode`/`decode` pair trades one scalar sync for exact bucketing)."""
+        enc = self.encode(x, x_lengths, sids, lids, d_factor, p_factor, e_factor)
+        y_lengths = jnp.minimum(enc["y_lengths"], n_frames)
+        dec = self.decode(enc["hidden"], enc["durations"], enc["x_mask"], y_lengths, n_frames)
+        return {**dec, "durations": enc["durations"], "pitch": enc["pitch"],
+                "energy": enc["energy"], "y_lengths": y_lengths}
+
     # -- inference stage 2: frame rate --------------------------------------
     def decode(self, hidden, durations, x_mask, y_lengths, n_frames: int):
         """Upsample -> decoder -> vocoder (reference :258-283). `n_frames` is

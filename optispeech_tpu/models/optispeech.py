@@ -55,6 +55,7 @@ class OptiSpeech:
 
         self._encode_jit = jax.jit(self._encode_fn)
         self._decode_jit = jax.jit(self._decode_fn, static_argnames=("n_frames",))
+        self._fixed_jit = jax.jit(self._fixed_fn, static_argnames=("n_frames",))
 
     # ------------------------------------------------------------------
     def init_params(self, rng):
@@ -85,6 +86,32 @@ class OptiSpeech:
         return self.generator.apply(
             {"params": params}, hidden, durations, x_mask, y_lengths, n_frames,
             method=OptiSpeechGenerator.decode,
+        )
+
+    def _fixed_fn(self, params, x, x_lengths, sids, lids, d_factor, p_factor,
+                  e_factor, n_frames):
+        return self.generator.apply(
+            {"params": params}, x, x_lengths, sids, lids,
+            d_factor, p_factor, e_factor, n_frames,
+            method=OptiSpeechGenerator.synthesise_fixed,
+        )
+
+    def synthesise_on_device(self, inputs: InferenceInputs, n_frames: int):
+        """Single-graph synthesis with a static frame cap; returns DEVICE
+        arrays without any host sync (callers fetch/stream as needed). This is
+        the serving hot path; `synthesise` wraps the two-stage exact-bucket
+        variant with host-side numpy outputs."""
+        inputs = inputs.as_numpy()
+        b, t_text = inputs.x.shape
+        t_bucket = round_up_to_bucket(t_text, self.text_bucket)
+        x = np.zeros((b, t_bucket), np.int32)
+        x[:, :t_text] = inputs.x
+        sids = jnp.asarray(inputs.sids.astype(np.int32)) if inputs.sids is not None else None
+        lids = jnp.asarray(inputs.lids.astype(np.int32)) if inputs.lids is not None else None
+        return self._fixed_jit(
+            self.params, jnp.asarray(x), jnp.asarray(inputs.x_lengths.astype(np.int32)),
+            sids, lids, jnp.float32(inputs.d_factor), jnp.float32(inputs.p_factor),
+            jnp.float32(inputs.e_factor), n_frames,
         )
 
     # ------------------------------------------------------------------

@@ -111,6 +111,31 @@ def test_two_stage_synthesise_api(rng):
     assert all(len(w) == wl for w, wl in zip(wavs, out.wav_lengths))
 
 
+def test_synthesise_on_device_single_graph(rng):
+    """synthesise_fixed: zero-host-sync serving path matches the two-stage
+    result for the same frame bucket."""
+    cfg = ExperimentConfig(
+        generator=tiny_cfg(),
+        data=DataConfig(
+            text_bucket_size=16, mel_bucket_size=32,
+            text_processor=TextProcessorConfig(tokenizer="char"),
+        ),
+    )
+    api = OptiSpeech(cfg, seed=0)
+    inputs = api.prepare_input("hello world", split_sentences=False)
+    two_stage = api.synthesise(inputs)
+    n_frames = int(np.asarray(two_stage.wav_lengths).max()) // cfg.generator.features.hop_length
+    import jax as _jax
+
+    out = api.synthesise_on_device(inputs, n_frames)
+    _jax.block_until_ready(out)
+    wav_fixed = np.asarray(out["wav"])
+    wav_two = np.asarray(two_stage.wav)
+    n = min(wav_fixed.shape[-1], wav_two.shape[-1])
+    # different padded widths change XLA reduction order; ~4e-4 noise is expected
+    np.testing.assert_allclose(wav_fixed[:, :n], wav_two[:, :n], atol=2e-3)
+
+
 def test_multi_speaker_multi_lang(rng):
     gen_cfg = tiny_cfg(num_speakers=4, num_languages=2)
     model = OptiSpeechGenerator(gen_cfg)
