@@ -6,6 +6,7 @@ from typing import Any
 
 from .normalization import UNICODE_NORM_FORM
 from .tokenizers import BaseTokenizer
+from . import arabic  # noqa: F401  (registers the `arabic-buck` tokenizer)
 
 
 class TextProcessor:

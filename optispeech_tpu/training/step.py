@@ -169,6 +169,6 @@ def make_val_step(cfg: ExperimentConfig, generator, discriminator):
             **{f"gen_adv_loss/val_{k}": v for k, v in val_log.items()},
             "total_loss/val_total": gen_out["loss"] + val_loss,
         }
-        return logs
+        return logs, wav, gen_out["wav_hat"]
 
     return val_step

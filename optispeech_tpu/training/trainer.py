@@ -11,6 +11,7 @@ Capability parity targets (SURVEY.md sections 3.1, 5):
   harness (configs/debug/overfit.yaml analogue), fast_dev_run.
 """
 
+import contextlib
 import json
 import os
 import time
@@ -102,7 +103,10 @@ class Trainer:
         max_steps: Optional[int] = None,
         state=None,
         fast_dev_run: bool = False,
+        profile_steps: Optional[tuple[int, int]] = None,
     ):
+        """`profile_steps=(start, stop)` captures a jax.profiler trace of those
+        steps to out_dir/profile (reference configs/debug/profiler.yaml role)."""
         cfg = self.cfg
         max_steps = max_steps or cfg.max_steps
         if fast_dev_run:
@@ -114,8 +118,13 @@ class Trainer:
         try:
             while step < max_steps:
                 for batch in train_loader:
+                    if profile_steps and step == profile_steps[0]:
+                        jax.profiler.start_trace(os.path.join(self.out_dir, "profile"))
                     batch = shard_batch(self._device_batch(batch), self.mesh)
                     state, logs = self.train_step(state, batch)
+                    if profile_steps and step == profile_steps[1]:
+                        jax.block_until_ready(state.step)
+                        jax.profiler.stop_trace()
                     step += 1
                     steps_since += 1
                     if step % cfg.log_every_n_steps == 0 or fast_dev_run:
@@ -147,15 +156,32 @@ class Trainer:
         rng = jax.random.PRNGKey(step)
         agg: dict = {}
         n = 0
+        first_wavs = None
         for batch in val_loader:
             batch = shard_batch(self._device_batch(batch), self.mesh)
-            logs = jax.device_get(self.val_step(state, batch, rng))
+            logs, wav, wav_hat = self.val_step(state, batch, rng)
+            logs = jax.device_get(logs)
+            if first_wavs is None:
+                first_wavs = (np.asarray(wav), np.asarray(wav_hat))
             for k, v in logs.items():
                 agg[k] = agg.get(k, 0.0) + float(v)
             n += 1
-        if n:
-            self.metrics.log(step, {k: v / n for k, v in agg.items()})
-            log.info(f"val @ {step}: total={agg['total_loss/val_total'] / n:.4f}")
+        if not n:
+            return
+        # host-side perceptual eval on the first batch (reference
+        # base_lightning_module.py:216-245; gated like train_args flags)
+        if self.cfg.train_args.evaluate_periodicity and first_wavs is not None:
+            from .metrics import periodicity_metrics, resample_to_16k
+
+            sr = self.cfg.generator.features.sample_rate
+            refs = [resample_to_16k(w, sr) for w in first_wavs[0][:4]]
+            gens = [resample_to_16k(w, sr) for w in first_wavs[1][:4]]
+            perio, pitch_rmse, f1 = periodicity_metrics(refs, gens)
+            agg["val/periodicity_loss"] = perio * n
+            agg["val/perio_pitch_loss"] = pitch_rmse * n
+            agg["val/f1_score"] = f1 * n
+        self.metrics.log(step, {k: v / n for k, v in agg.items()})
+        log.info(f"val @ {step}: total={agg['total_loss/val_total'] / n:.4f}")
 
     def export_inference_checkpoint(self, state, path: str):
         save_inference_checkpoint(path, self.cfg, jax.device_get(state.g_params))

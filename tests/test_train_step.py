@@ -127,5 +127,6 @@ def test_val_step(rng):
     cfg = tiny_experiment()
     generator, discriminator, state = _build(cfg)
     val_fn = make_val_step(cfg, generator, discriminator)
-    logs = val_fn(state, synth_batch(rng, cfg, b=2), jax.random.PRNGKey(3))
+    logs, wav, wav_hat = val_fn(state, synth_batch(rng, cfg, b=2), jax.random.PRNGKey(3))
     assert np.isfinite(float(logs["total_loss/val_total"]))
+    assert wav.shape == wav_hat.shape
