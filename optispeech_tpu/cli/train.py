@@ -67,6 +67,9 @@ def main(argv=None):
     p.add_argument("--overfit", type=int, default=0, help="overfit N batches")
     p.add_argument("--limit", type=float, default=1.0, help="fraction of train data")
     p.add_argument("--debug-nans", action="store_true")
+    p.add_argument("--forced-resume", default=None,
+                   help="load generator weights from an inference checkpoint, fresh optimizers")
+    p.add_argument("--profile-steps", default=None, help="START,STOP jax.profiler capture")
     p.add_argument("overrides", nargs="*", help="dotted config overrides key=value")
     args = p.parse_args(argv)
 
@@ -78,8 +81,14 @@ def main(argv=None):
     trainer = Trainer(cfg, out_dir=out_dir, debug_nans=args.debug_nans)
     train_loader, val_loader = build_loaders(cfg, args.synthetic, args.overfit, args.limit)
     log.info(f"Training `{cfg.run_name}` -> {out_dir}")
+    state = trainer.init_or_restore_state(forced_resume_from=args.forced_resume)
+    profile_steps = None
+    if args.profile_steps:
+        a, b = args.profile_steps.split(",")
+        profile_steps = (int(a), int(b))
     state = trainer.fit(
-        train_loader, val_loader, max_steps=args.max_steps, fast_dev_run=args.fast_dev_run
+        train_loader, val_loader, max_steps=args.max_steps, state=state,
+        fast_dev_run=args.fast_dev_run, profile_steps=profile_steps,
     )
     trainer.export_inference_checkpoint(state, f"{out_dir}/inference_ckpt")
     log.info("Done.")

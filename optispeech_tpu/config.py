@@ -200,8 +200,10 @@ class InferenceArgs:
 
 @dataclass(frozen=True)
 class TextProcessorConfig:
+    """(reference configs/data/text_processor/default.yaml)."""
+
     tokenizer: str = "ipa"
-    add_blank: bool = True
+    add_blank: bool = False
     add_bos_eos: bool = False
     normalize_text: bool = True
     languages: Tuple[str, ...] = ("en-us",)

@@ -75,7 +75,12 @@ class Trainer:
         os.makedirs(out_dir, exist_ok=True)
         if debug_nans:
             jax.config.update("jax_debug_nans", True)
-        self.generator = OptiSpeechGenerator(cfg.generator)
+        import jax.numpy as jnp
+
+        compute_dtype = (
+            jnp.bfloat16 if cfg.train_args.compute_dtype == "bfloat16" else jnp.float32
+        )
+        self.generator = OptiSpeechGenerator(cfg.generator, dtype=compute_dtype)
         self.discriminator = VocosDiscriminator(cfg.discriminator, cfg.generator.features)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.num_devices)
         self.train_step = make_train_step(cfg, self.generator, self.discriminator)
@@ -85,15 +90,24 @@ class Trainer:
             os.path.join(out_dir, cfg.ckpt_dir), keep=cfg.ckpt_keep
         )
 
-    def init_or_restore_state(self, seed: int = None):
+    def init_or_restore_state(self, seed: int = None, forced_resume_from: str = None):
         state = init_train_state(
             self.cfg, self.generator, self.discriminator,
             jax.random.PRNGKey(seed if seed is not None else self.cfg.seed),
         )
-        restored, step = self.ckpt.restore(jax.device_get(state))
-        if restored is not None:
-            log.info(f"Restored training state from step {step}")
-            state = restored
+        if forced_resume_from:
+            # load only the weights; fresh optimizers/schedules
+            # (reference train.py:82-87 `forced_resume` with strict=False)
+            from .checkpoint import load_inference_checkpoint
+
+            _, params, _ = load_inference_checkpoint(forced_resume_from)
+            state = state.replace(g_params=params)
+            log.info(f"Force-resumed generator weights from {forced_resume_from}")
+        else:
+            restored, step = self.ckpt.restore(jax.device_get(state))
+            if restored is not None:
+                log.info(f"Restored training state from step {step}")
+                state = restored
         return replicate_state(state, self.mesh)
 
     def fit(

@@ -1,0 +1,49 @@
+"""Full-training-state checkpoint / resume round-trip (SURVEY.md §5)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from optispeech_tpu.models.discriminator.vocos import VocosDiscriminator
+from optispeech_tpu.models.generator import OptiSpeechGenerator
+from optispeech_tpu.training.checkpoint import TrainCheckpointManager
+from optispeech_tpu.training.state import init_train_state
+from optispeech_tpu.training.step import make_train_step
+
+from test_train_step import synth_batch, tiny_experiment
+
+
+def test_train_state_save_restore_continue(tmp_path, rng):
+    cfg = dataclasses.replace(tiny_experiment(pretraining_steps=0), ckpt_keep=2)
+    generator = OptiSpeechGenerator(cfg.generator)
+    discriminator = VocosDiscriminator(cfg.discriminator, cfg.generator.features)
+    state = init_train_state(cfg, generator, discriminator, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, generator, discriminator)
+    batch = synth_batch(rng, cfg, b=4)
+
+    state, _ = step_fn(state, batch)
+    state, _ = step_fn(state, batch)
+
+    mgr = TrainCheckpointManager(str(tmp_path / "ck"), keep=2)
+    mgr.save(2, state, cfg)
+    mgr.wait()
+    assert mgr.latest_step() == 2
+
+    template = jax.device_get(init_train_state(cfg, generator, discriminator, jax.random.PRNGKey(0)))
+    restored, step = mgr.restore(template)
+    assert step == 2
+    assert int(restored.step) == 2
+    # params identical
+    same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.allclose(np.asarray(a), np.asarray(b))),
+        jax.device_get(state.g_params), restored.g_params,
+    ))
+    assert same
+
+    # resumed state continues training bit-identically to the original
+    cont_a, logs_a = step_fn(state, batch)
+    cont_b, logs_b = step_fn(jax.device_put(restored), batch)
+    np.testing.assert_allclose(
+        float(logs_a["total_loss/generator"]), float(logs_b["total_loss/generator"]), rtol=1e-5
+    )
