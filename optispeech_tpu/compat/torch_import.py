@@ -121,6 +121,30 @@ def _alignment(prefix, get):
     }
 
 
+def _transformer_backbone(prefix, get, n_blocks):
+    """ESPnet FS2 transformer encoder (reference modules/_transformer/encoder.py)
+    wrapped by modules/transformer.py — state-dict names like
+    `<prefix>.transformer.encoders.{i}.self_attn.linear_q.weight`."""
+    base = f"{prefix}.transformer"
+    out = {"pos_alpha": np.asarray(get(f"{base}.embed.0.alpha")).reshape(1)}
+    for i in range(n_blocks):
+        p = f"{base}.encoders.{i}"
+        out[f"self_attn_{i}"] = {
+            "linear_q": _dense_params(f"{p}.self_attn.linear_q", get),
+            "linear_k": _dense_params(f"{p}.self_attn.linear_k", get),
+            "linear_v": _dense_params(f"{p}.self_attn.linear_v", get),
+            "linear_out": _dense_params(f"{p}.self_attn.linear_out", get),
+        }
+        out[f"ffn_{i}"] = {
+            "w_1": _conv_params(f"{p}.feed_forward.w_1", get),
+            "w_2": _conv_params(f"{p}.feed_forward.w_2", get),
+        }
+        out[f"norm1_{i}"] = _ln(f"{p}.norm1", get)
+        out[f"norm2_{i}"] = _ln(f"{p}.norm2", get)
+    out["after_norm"] = _ln(f"{base}.after_norm", get)
+    return out
+
+
 def _backbone(prefix, get, bb_cfg, is_decoder=False):
     if bb_cfg.kind == "convnext":
         return _convnext_backbone(prefix, get, bb_cfg.num_layers)
@@ -129,8 +153,12 @@ def _backbone(prefix, get, bb_cfg, is_decoder=False):
         if is_decoder:
             out["pos_emb"] = {"scale": np.asarray(get(f"{prefix}.pos_emb.scale"))}
         return out
+    if bb_cfg.kind == "transformer":
+        return _transformer_backbone(prefix, get, bb_cfg.num_blocks)
     raise NotImplementedError(
-        f"torch import for backbone kind `{bb_cfg.kind}` is not implemented yet"
+        f"torch import for backbone kind `{bb_cfg.kind}` is not implemented yet "
+        "(conformer checkpoints cannot be imported faithfully: the reference "
+        "conv module uses BatchNorm, ours uses LayerNorm)"
     )
 
 

@@ -284,6 +284,20 @@ def from_dict(cls, data: dict):
     return _build(cls, data)
 
 
+def finalize(cfg: "ExperimentConfig") -> "ExperimentConfig":
+    """Propagate data-level facts into the generator config, mirroring how the
+    reference constructs the generator from data_args
+    (model/optispeech.py:48-55): num_speakers, num_languages and the feature
+    extractor parameters come from the data block."""
+    gen = dataclasses.replace(
+        cfg.generator,
+        num_speakers=cfg.data.num_speakers,
+        num_languages=len(cfg.data.text_processor.languages),
+        features=cfg.data.features,
+    )
+    return dataclasses.replace(cfg, generator=gen)
+
+
 def merge_overrides(cfg, overrides: dict):
     """Apply dotted-path overrides, e.g. {"generator.dim": 192}."""
     d = to_dict(cfg)

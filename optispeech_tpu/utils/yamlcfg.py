@@ -10,7 +10,7 @@ from typing import Optional
 
 import yaml
 
-from ..config import ExperimentConfig, from_dict, merge_overrides, to_dict
+from ..config import ExperimentConfig, finalize, from_dict, merge_overrides, to_dict
 
 CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "configs")
 
@@ -53,7 +53,7 @@ def load_experiment(
     cfg = from_dict(ExperimentConfig, data)
     if overrides:
         cfg = merge_overrides(cfg, dict(parse_override(o) for o in overrides))
-    return cfg
+    return finalize(cfg)
 
 
 def save_experiment(cfg: ExperimentConfig, path: str):
