@@ -17,8 +17,23 @@ from ..utils.yamlcfg import load_experiment
 log = get_pylogger("optispeech_tpu.train")
 
 
-def build_loaders(cfg, synthetic: bool, overfit: int, limit: float):
+def build_loaders(cfg, synthetic: bool, overfit: int, limit: float,
+                  packed_train: str = None, packed_val: str = None):
     from ..data.datamodule import BucketedCollate, DataLoader, SyntheticDataset, TextWavDataset
+
+    if packed_train:
+        # native mmapped arena + C++ batch assembly (production input path)
+        from ..data.packed import PackedDataset, PackedLoader
+
+        def mk(path, shuffle):
+            ds = PackedDataset(path, cfg.data.statistics, f_min=cfg.generator.features.f_min)
+            return PackedLoader(
+                ds, cfg.data.batch_size, cfg.data.text_bucket_size,
+                cfg.data.mel_bucket_size, shuffle=shuffle, seed=cfg.data.seed,
+                max_text_len=cfg.data.max_text_len, max_mel_len=cfg.data.max_mel_len,
+            )
+
+        return mk(packed_train, True), (mk(packed_val, False) if packed_val else None)
 
     collate = BucketedCollate(
         n_feats=cfg.generator.features.n_feats,
@@ -63,6 +78,8 @@ def main(argv=None):
     p.add_argument("--out-dir", default=None)
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--synthetic", action="store_true", help="use synthetic data (smoke)")
+    p.add_argument("--packed-train", default=None, help="packed .pak train file (native loader)")
+    p.add_argument("--packed-val", default=None)
     p.add_argument("--fast-dev-run", action="store_true")
     p.add_argument("--overfit", type=int, default=0, help="overfit N batches")
     p.add_argument("--limit", type=float, default=1.0, help="fraction of train data")
@@ -79,7 +96,10 @@ def main(argv=None):
     from ..training.trainer import Trainer
 
     trainer = Trainer(cfg, out_dir=out_dir, debug_nans=args.debug_nans)
-    train_loader, val_loader = build_loaders(cfg, args.synthetic, args.overfit, args.limit)
+    train_loader, val_loader = build_loaders(
+        cfg, args.synthetic, args.overfit, args.limit,
+        packed_train=args.packed_train, packed_val=args.packed_val,
+    )
     log.info(f"Training `{cfg.run_name}` -> {out_dir}")
     state = trainer.init_or_restore_state(forced_resume_from=args.forced_resume)
     profile_steps = None
