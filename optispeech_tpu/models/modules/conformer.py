@@ -29,11 +29,13 @@ def rel_positional_encoding(t: int, dim: int) -> np.ndarray:
 
 
 def _rel_shift(x):
-    """(B, H, T, 2T-1) -> (B, H, T, T) Transformer-XL relative shift."""
+    """(B, H, T, 2T-1) -> (B, H, T, T) Transformer-XL relative shift:
+    out[q, k] = x[q, T-1 - (q-k)] (reference _transformer attention rel_shift)."""
     b, h, t, _ = x.shape
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))  # (B, H, T, 2T)
     x = x.reshape(b, h, 2 * t, t)
-    return x[:, :, 1:t + 1, :]
+    x = x[:, :, 1:, :].reshape(b, h, t, 2 * t - 1)
+    return x[:, :, :, :t]
 
 
 class RelPosSelfAttention(nn.Module):
