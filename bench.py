@@ -41,7 +41,9 @@ def main():
     # ~13 frames/token -> ~1600 mel frames -> ~17 s of 24 kHz audio per item.
     rng = np.random.default_rng(0)
     n_tokens = 120
-    batch = 8  # serving batch; per-chip throughput = batch * audio / wall
+    batch = 32  # serving batch; per-chip throughput = batch * audio / wall.
+    # Per-call wall = ~35-40 ms fixed tunnel sync latency + ~0.65 ms/item real
+    # compute (batch-scaling measured 8->64); larger batches amortize the sync.
     ids = [rng.integers(3, 150, n_tokens).astype(np.int64).tolist() for _ in range(batch)]
     inputs = InferenceInputs.from_ids_and_lengths(
         ids=ids, lengths=[n_tokens] * batch, clean_text="bench", d_factor=8.0,
@@ -51,20 +53,32 @@ def main():
 
     out = api.synthesise_on_device(inputs, n_frames)  # compile warmup
     jax.block_until_ready(out)
+
+    # Force the tunnel into synchronous-dispatch mode BEFORE timing: until the
+    # first device->host transfer, block_until_ready through this tunnel only
+    # acknowledges the enqueue (timings come out batch-size-invariant and
+    # exceed peak FLOP/s — dishonest). One D2H flips the process into real
+    # per-call synchronization; only then are the timings trustworthy.
     audio_secs = float(np.asarray(out["wav_lengths"]).sum()) / api.sample_rate
 
-    n_iter = 50
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = api.synthesise_on_device(inputs, n_frames)
-        jax.block_until_ready(out)
-    device_time = (time.perf_counter() - t0) / n_iter
+    trials = []
+    for _ in range(7):
+        n_iter = 20
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = api.synthesise_on_device(inputs, n_frames)
+            jax.block_until_ready(out)
+        trials.append((time.perf_counter() - t0) / n_iter)
+    trials.sort()
+    device_time = trials[len(trials) // 2]
+    best_time = trials[0]
     xrt = audio_secs / device_time
 
     # D2H cost (tunnel): fetch the full waveform batch once
     t0 = time.perf_counter()
     wav_host = np.asarray(out["wav"])
     d2h_time = time.perf_counter() - t0
+    assert np.isfinite(wav_host).all()
 
     frames = float(np.asarray(out["y_lengths"]).sum())
     result = {
@@ -76,6 +90,8 @@ def main():
             "batch": batch,
             "audio_seconds_per_call": round(audio_secs, 3),
             "device_seconds_per_call": round(device_time, 6),
+            "best_device_seconds_per_call": round(best_time, 6),
+            "best_x_realtime": round(audio_secs / best_time, 2),
             "mel_frames_per_sec": round(frames / device_time, 1),
             "d2h_seconds_tunnel": round(d2h_time, 4),
             "x_realtime_incl_tunnel_d2h": round(audio_secs / (device_time + d2h_time), 2),
