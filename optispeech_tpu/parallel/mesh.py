@@ -32,7 +32,15 @@ def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
     """Place a host batch onto the mesh, sharded along the batch dimension.
-    Batch size must divide the mesh size."""
+    Batch size must be divisible by the mesh size."""
+    n = mesh.devices.size
+    for k, v in batch.items():
+        if v is not None and hasattr(v, "shape") and v.shape and v.shape[0] % n:
+            raise ValueError(
+                f"batch dim {v.shape[0]} of `{k}` is not divisible by the "
+                f"{n}-device mesh; set data.batch_size to a multiple of the "
+                f"device count (or num_devices to a divisor of the batch)"
+            )
     sharding = data_sharding(mesh, axis_name)
     return {
         k: (jax.device_put(v, sharding) if v is not None and hasattr(v, "shape") else v)

@@ -39,7 +39,9 @@ class MetricLogger:
     def __init__(self, out_dir: str, use_tensorboard: bool = True):
         os.makedirs(out_dir, exist_ok=True)
         self.csv_path = os.path.join(out_dir, "metrics.csv")
-        self._csv_keys = None
+        if not os.path.exists(self.csv_path):
+            with open(self.csv_path, "w") as f:
+                f.write("step,metric,value\n")
         self.tb = None
         if use_tensorboard:
             try:
@@ -51,13 +53,10 @@ class MetricLogger:
 
     def log(self, step: int, metrics: dict):
         metrics = {k: float(v) for k, v in metrics.items()}
-        if self._csv_keys is None:
-            self._csv_keys = sorted(metrics)
-            with open(self.csv_path, "a") as f:
-                f.write("step," + ",".join(self._csv_keys) + "\n")
+        # long format: train/val/any namespace can appear at any step
         with open(self.csv_path, "a") as f:
-            f.write(f"{step()}" if callable(step) else f"{step}")
-            f.write("," + ",".join(str(metrics.get(k, "")) for k in self._csv_keys) + "\n")
+            for k in sorted(metrics):
+                f.write(f"{step},{k},{metrics[k]}\n")
         if self.tb is not None:
             for k, v in metrics.items():
                 self.tb.add_scalar(k, v, step)
@@ -195,7 +194,32 @@ class Trainer:
             agg["val/perio_pitch_loss"] = pitch_rmse * n
             agg["val/f1_score"] = f1 * n
         self.metrics.log(step, {k: v / n for k, v in agg.items()})
+        if first_wavs is not None:
+            self._log_samples(step, first_wavs)
         log.info(f"val @ {step}: total={agg['total_loss/val_total'] / n:.4f}")
+
+    def _log_samples(self, step: int, first_wavs):
+        """GT + generated audio and mel images to TensorBoard
+        (reference base_lightning_module.py:256-286)."""
+        if self.metrics.tb is None:
+            return
+        from ..data.dsp import log_mel_spectrogram_np
+
+        f = self.cfg.generator.features
+        for i in range(min(2, first_wavs[0].shape[0])):
+            gt, gen = first_wavs[0][i], first_wavs[1][i]
+            try:  # tensorboardX audio needs the optional soundfile package
+                self.metrics.tb.add_audio(f"wav/original_{i}", gt[:, None], step, f.sample_rate)
+                self.metrics.tb.add_audio(f"wav/generated_{i}", gen[:, None], step, f.sample_rate)
+            except (ImportError, ModuleNotFoundError):
+                pass
+            mel = log_mel_spectrogram_np(
+                np.asarray(gen, np.float32), f.sample_rate, f.n_fft, f.hop_length,
+                f.win_length, f.n_feats, f.f_min, f.f_max,
+            )
+            lo, hi = mel.min(), mel.max()
+            img = (mel - lo) / max(hi - lo, 1e-6)
+            self.metrics.tb.add_image(f"mel/generated_{i}", img[None, ::-1, :], step)
 
     def export_inference_checkpoint(self, state, path: str):
         save_inference_checkpoint(path, self.cfg, jax.device_get(state.g_params))
