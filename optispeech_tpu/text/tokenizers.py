@@ -110,13 +110,22 @@ class RawIPATokenizer(BaseTokenizer):
 
 class CharacterTokenizer(BaseTokenizer):
     """Grapheme fallback: lowercased characters restricted to the symbol set.
-    No reference analogue; exists so the full pipeline runs without espeak."""
+    No reference analogue; exists so the full pipeline runs without espeak.
+    Sentence splitting uses terminal punctuation (espeak does this inside
+    phonemize_espeak for the IPA path)."""
 
     name = "char"
     input_symbols = symbols.SYMBOL_TO_ID
     special_symbols = dict(pad=symbols.PAD, bos=symbols.BOS, eos=symbols.EOS)
 
+    _SENT_RE = __import__("re").compile(r"[^.!?]+[.!?]*")
+
     def __call__(self, text: str, language: str, *, split_sentences: bool = True):
         text = self.preprocess_text(text, language)
-        chars = [ch for ch in text.lower() if ch in symbols.SYMBOL_TO_ID]
-        return self._encode_sentences([chars], split_sentences), text
+        if split_sentences:
+            parts = [m.group(0).strip() for m in self._SENT_RE.finditer(text)]
+            parts = [p for p in parts if p] or [text]
+        else:
+            parts = [text]
+        sentences = [[ch for ch in p.lower() if ch in symbols.SYMBOL_TO_ID] for p in parts]
+        return self._encode_sentences(sentences, split_sentences), text

@@ -128,6 +128,16 @@ class Trainer:
         step = int(jax.device_get(state.step))
         t_last = time.perf_counter()
         steps_since = 0
+
+        # preemption safety: TPU maintenance events deliver SIGTERM; convert
+        # to KeyboardInterrupt so the finally-block checkpoints before exit
+        # (SURVEY.md §5 failure detection/elastic recovery)
+        import signal
+
+        def _sigterm(_sig, _frm):
+            raise KeyboardInterrupt("SIGTERM (preemption)")
+
+        old_handler = signal.signal(signal.SIGTERM, _sigterm)
         try:
             while step < max_steps:
                 for batch in train_loader:
@@ -158,8 +168,9 @@ class Trainer:
                     if step >= max_steps:
                         break
         except KeyboardInterrupt:
-            log.info("Interrupted — saving checkpoint before exit")
+            log.info("Interrupted/preempted — saving checkpoint before exit")
         finally:
+            signal.signal(signal.SIGTERM, old_handler)
             self.ckpt.save(step, state, cfg)
             self.ckpt.wait()
             self.metrics.close()
