@@ -91,6 +91,21 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = load_experiment(args.config, args.overrides)
+
+    # auto-detect speaker/language counts from the preprocess outputs
+    # (reference: data configs carry num_speakers; preprocess writes the maps)
+    from pathlib import Path as _P
+
+    from ..config import finalize, merge_overrides
+
+    sid_map = _P(cfg.data.train_filelist_path).parent / "speaker_ids.json"
+    if not args.synthetic and sid_map.exists() and cfg.data.num_speakers == 1:
+        import json as _json
+
+        n = len(_json.loads(sid_map.read_text()))
+        if n > 1:
+            cfg = finalize(merge_overrides(cfg, {"data.num_speakers": n}))
+            log.info(f"Detected {n} speakers from {sid_map}")
     out_dir = args.out_dir or f"runs/{cfg.run_name}"
 
     from ..training.trainer import Trainer

@@ -29,6 +29,9 @@ from .stft import (
     frame_energy,
     hann_window,
 )
+from .mas import viterbi_decode
+from .prior import beta_binomial_log_prior
+from .ctc import forward_sum_loss
 
 __all__ = [
     "sequence_mask",
@@ -52,4 +55,7 @@ __all__ = [
     "log_mel_spectrogram",
     "frame_energy",
     "hann_window",
+    "viterbi_decode",
+    "beta_binomial_log_prior",
+    "forward_sum_loss",
 ]
