@@ -94,8 +94,19 @@ def make_train_step(cfg: ExperimentConfig, generator, discriminator, optimizer=N
         logs["grad_norm/generator"] = optax.global_norm(g_grads)
 
         # ---- discriminator update (gated by pretraining window) -----------
-        wav = jax.lax.stop_gradient(aux["wav"])
-        wav_hat = jax.lax.stop_gradient(aux["wav_hat"])
+        if cfg.train_args.cache_generator_outputs:
+            # reuse the G step's waveforms (reference train_args default)
+            wav = jax.lax.stop_gradient(aux["wav"])
+            wav_hat = jax.lax.stop_gradient(aux["wav_hat"])
+        else:
+            # recompute the generator without gradients for the D turn
+            # (reference base_lightning_module.py:166-169 torch.no_grad path)
+            _, aux2 = g_forward(
+                jax.lax.stop_gradient(g_params), state.d_params, batch, g_rng,
+                jnp.asarray(False),
+            )
+            wav = jax.lax.stop_gradient(aux2["wav"])
+            wav_hat = jax.lax.stop_gradient(aux2["wav_hat"])
 
         def d_loss_fn(d_params):
             loss, log = discriminator.apply(

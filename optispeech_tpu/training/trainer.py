@@ -204,6 +204,18 @@ class Trainer:
             agg["val/periodicity_loss"] = perio * n
             agg["val/perio_pitch_loss"] = pitch_rmse * n
             agg["val/f1_score"] = f1 * n
+        if self.cfg.train_args.evaluate_pesq and first_wavs is not None:
+            from .metrics import pesq_score, resample_to_16k
+
+            sr = self.cfg.generator.features.sample_rate
+            try:
+                score = pesq_score(
+                    [resample_to_16k(w, sr) for w in first_wavs[0][:4]],
+                    [resample_to_16k(w, sr) for w in first_wavs[1][:4]],
+                )
+                agg["val/pesq"] = score * n
+            except ImportError:
+                log.warning("evaluate_pesq set but the pesq package is unavailable")
         self.metrics.log(step, {k: v / n for k, v in agg.items()})
         if first_wavs is not None:
             self._log_samples(step, first_wavs)
