@@ -72,3 +72,33 @@ def test_multispeaker_end_to_end(tmp_path, rng):
                           "energies", "pitches", "sids", "lids")}
     state, logs = step_fn(state, dev_batch)
     assert np.isfinite(float(logs["total_loss/generator"]))
+
+
+def test_multilanguage_preprocess_lids(tmp_path, rng):
+    """4-column metadata -> language id maps and lids in datafiles."""
+    sr = 24000
+    ds_dir = tmp_path / "ds"
+    (ds_dir / "wavs").mkdir(parents=True)
+    lines = []
+    langs = ["en-us", "de"]
+    for i in range(4):
+        wav = (np.sin(2 * np.pi * 200 * np.arange(sr // 2) / sr) * 0.4).astype(np.float32)
+        save_wav(str(ds_dir / "wavs" / f"u{i}.wav"), wav, sr)
+        lines.append(f"u{i}|spk0|{langs[i % 2]}|utterance {i}")
+    (ds_dir / "metadata.csv").write_text("\n".join(lines))
+
+    tp = TextProcessor.from_config(
+        TextProcessorConfig(tokenizer="char", languages=("en-us", "de"))
+    )
+    from optispeech_tpu.config import FeatureConfig
+
+    feats = FeatureConfig(sample_rate=sr, n_feats=20, n_fft=256, hop_length=64, win_length=256)
+    out = tmp_path / "prep"
+    preprocess_dataset(str(ds_dir), str(out), tp, FeatureExtractor(features=feats),
+                       val_fraction=0.25)
+    import json
+
+    lid_map = json.loads((out / "language_ids.json").read_text())
+    assert set(lid_map) == {"en-us", "de"}
+    ds = TextWavDataset(str(out / "train.txt"), f_min=feats.f_min)
+    assert all(ds[i]["lid"] in (0, 1) for i in range(len(ds)))
