@@ -29,7 +29,19 @@ def main(argv=None):
     if args.tokenizer:
         cfg = merge_overrides(cfg, {"data.text_processor.tokenizer": args.tokenizer})
     text_processor = TextProcessor.from_config(cfg.data.text_processor)
-    feature_extractor = FeatureExtractor(features=cfg.generator.features)
+    pp = cfg.data.preprocess
+    feature_extractor = FeatureExtractor(
+        features=cfg.generator.features,
+        preemphasis_filter_coef=pp.preemphasis_filter_coef,
+        loudness_norm_target_db=pp.loudness_norm_target_db,
+        trim_silence=pp.trim_silence,
+        trim_silence_args=dict(
+            threshold_db=pp.trim_silence_threshold_db,
+            chunk=pp.trim_silence_chunk,
+            keep_chunks_before=pp.trim_keep_chunks_before,
+            keep_chunks_after=pp.trim_keep_chunks_after,
+        ),
+    )
     preprocess_dataset(
         args.dataset_dir, args.output_dir, text_processor, feature_extractor,
         val_fraction=args.val_fraction, num_workers=args.workers,

@@ -210,6 +210,20 @@ class TextProcessorConfig:
 
 
 @dataclass(frozen=True)
+class PreprocessConfig:
+    """Offline feature-extraction knobs
+    (reference configs/data/feature_extractor/default.yaml:15-24)."""
+
+    preemphasis_filter_coef: Optional[float] = None
+    loudness_norm_target_db: Optional[float] = -24.0
+    trim_silence: bool = False
+    trim_silence_threshold_db: float = -40.0
+    trim_silence_chunk: int = 720
+    trim_keep_chunks_before: int = 1
+    trim_keep_chunks_after: int = 1
+
+
+@dataclass(frozen=True)
 class DataConfig:
     name: str = "ljspeech"
     num_speakers: int = 1
@@ -219,6 +233,7 @@ class DataConfig:
     num_workers: int = 8
     text_processor: TextProcessorConfig = field(default_factory=TextProcessorConfig)
     features: FeatureConfig = field(default_factory=FeatureConfig)
+    preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
     statistics: DataStatistics = field(default_factory=DataStatistics)
     seed: int = 1234
     # static-shape bucketing (TPU-specific; no reference analogue)
