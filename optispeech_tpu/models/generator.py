@@ -159,9 +159,9 @@ class OptiSpeechGenerator(nn.Module):
         log_p_attn = self.alignment_module(
             h, mel_btc.astype(h.dtype), x_lengths, mel_lengths, x_masks=input_padding_mask
         )
-        durations, bin_loss = viterbi_decode(
-            jax.lax.stop_gradient(log_p_attn), x_lengths, mel_lengths
-        )
+        # bin_loss backpropagates into the alignment module; the DP itself is
+        # detached inside viterbi_decode (reference alignments.py:232,237)
+        durations, bin_loss = viterbi_decode(log_p_attn, x_lengths, mel_lengths)
         duration_hat = self.duration_predictor(
             jax.lax.stop_gradient(h), input_padding_mask, deterministic=deterministic
         )

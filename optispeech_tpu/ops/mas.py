@@ -83,16 +83,20 @@ def viterbi_decode(
     frame_valid = jnp.arange(t_feats)[None, :] < feats_lengths[:, None]
     token_valid = jnp.arange(t_text)[None, :] < text_lengths[:, None]
     lp_m = jnp.where(frame_valid[:, :, None] & token_valid[:, None, :], lp, BIG_NEG)
+    # the DP/backtrace is detached (the reference runs it on .detach().numpy(),
+    # alignments.py:232) but the binarization-loss gather reads the LIVE
+    # tensor (alignments.py:237) so its gradient trains the alignment module
+    lp_dp = jax.lax.stop_gradient(lp_m)
 
-    def per_item(lp_i, tl, fl):
-        q = _mas_forward(lp_i.T)  # (T_text, T_mel)
+    def per_item(lp_dp_i, lp_live_i, tl, fl):
+        q = _mas_forward(lp_dp_i.T)  # (T_text, T_mel)
         a = _mas_backtrace(q, tl, fl)  # (T_mel,)
         fv = jnp.arange(t_feats) < fl
         ds = jax.ops.segment_sum(fv.astype(jnp.float32), a, num_segments=t_text)
-        # gather aligned log-probs for the binarization loss
-        picked = jnp.take_along_axis(lp_i, a[:, None], axis=1)[:, 0]
+        # gather aligned log-probs for the binarization loss (differentiable)
+        picked = jnp.take_along_axis(lp_live_i, a[:, None], axis=1)[:, 0]
         bin_l = -jnp.sum(jnp.where(fv, picked, 0.0)) / jnp.maximum(fl.astype(jnp.float32), 1.0)
         return ds, bin_l
 
-    ds, bin_losses = jax.vmap(per_item)(lp_m, text_lengths, feats_lengths)
-    return ds, jnp.mean(bin_losses)
+    ds, bin_losses = jax.vmap(per_item)(lp_dp, lp_m, text_lengths, feats_lengths)
+    return jax.lax.stop_gradient(ds), jnp.mean(bin_losses)
