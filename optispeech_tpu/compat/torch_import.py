@@ -90,10 +90,15 @@ def _variance_predictor(prefix, get, num_layers, separable):
 
 def _pitch_predictor(prefix, get, num_layers, separable):
     """PitchPredictor (reference modules/core.py:136-176): predictor + embed
-    conv (torch Sequential index 0)."""
+    conv (torch Sequential index 0; ConvSeparable in the lite variant)."""
+    embed = (
+        _conv_separable(f"{prefix}.embed.0", get)
+        if separable
+        else _conv_params(f"{prefix}.embed.0", get)
+    )
     return {
         "predictor": _variance_predictor(f"{prefix}.predictor", get, num_layers, separable),
-        "embed": _conv_params(f"{prefix}.embed.0", get),
+        "embed": embed,
     }
 
 

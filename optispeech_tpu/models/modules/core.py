@@ -169,10 +169,18 @@ class PitchPredictor(nn.Module):
             kernel_size=self.kernel_size, dropout=self.dropout, separable=self.separable,
             dtype=self.dtype,
         )
-        self.embed = nn.Conv(
-            self.dim, (self.embed_kernel_size,), padding=(self.embed_kernel_size - 1) // 2,
-            dtype=self.dtype, name="embed",
-        )
+        # the reference builds the embed conv from the same conv_layer_class as
+        # the predictor stack (modules/core.py:142-151), so the lite variant's
+        # embed is separable too
+        if self.separable:
+            self.embed = ConvSeparable(
+                self.dim, self.embed_kernel_size, dtype=self.dtype, name="embed"
+            )
+        else:
+            self.embed = nn.Conv(
+                self.dim, (self.embed_kernel_size,), padding=(self.embed_kernel_size - 1) // 2,
+                dtype=self.dtype, name="embed",
+            )
         self.embed_drop = nn.Dropout(self.embed_dropout)
 
     def _add_embedding(self, x, values, padding_mask, deterministic):

@@ -92,4 +92,6 @@ class LightSpeechTransformerDecoder(nn.Module):
                                 dtype=self.dtype, name=f"layer_{i}")(
                 x, padding_mask, deterministic=deterministic
             )
-        return nn.LayerNorm(dtype=self.dtype, name="layer_norm")(x)
+        # reference decoder uses a plain torch LayerNorm (eps 1e-5),
+        # lightspeech_transformer.py:65
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)

@@ -114,6 +114,8 @@ class TransformerBackbone(nn.Module):
 
         if self.normalize_before:
             x = nn.LayerNorm(epsilon=1e-12, dtype=self.dtype, name="after_norm")(x)
-        if padding_mask is not None:
-            x = x * (~padding_mask)[..., None].astype(x.dtype)
+        # NOTE: no trailing pad-zeroing — the reference wrapper
+        # (modules/transformer.py:24-27) returns the encoder output as-is, and
+        # the variance predictors' convs see those pad values at boundary
+        # windows, so zeroing here would break checkpoint parity.
         return x
