@@ -150,6 +150,54 @@ def _transformer_backbone(prefix, get, n_blocks):
     return out
 
 
+def _conformer_backbone(prefix, get, n_blocks):
+    """ESPnet conformer encoder (reference modules/_conformer/encoder.py:32)
+    wrapped by modules/conformer.py — state-dict names like
+    `<prefix>.conformer.encoders.{i}.self_attn.linear_q.weight`.
+
+    The conv-module BatchNorm1d's frozen running stats are folded into the
+    affine `norm_scale`/`norm_bias` params of our `conv_norm="affine"` path:
+    scale = gamma / sqrt(var + eps), bias = beta - mean * scale.
+    """
+    base = f"{prefix}.conformer"
+    out = {}
+    for i in range(n_blocks):
+        p = f"{base}.encoders.{i}"
+        out[f"self_attn_{i}"] = {
+            "linear_q": _dense_params(f"{p}.self_attn.linear_q", get),
+            "linear_k": _dense_params(f"{p}.self_attn.linear_k", get),
+            "linear_v": _dense_params(f"{p}.self_attn.linear_v", get),
+            "linear_out": _dense_params(f"{p}.self_attn.linear_out", get),
+            "linear_pos": _dense_params(f"{p}.self_attn.linear_pos", get, bias=False),
+            "pos_bias_u": np.asarray(get(f"{p}.self_attn.pos_bias_u")),
+            "pos_bias_v": np.asarray(get(f"{p}.self_attn.pos_bias_v")),
+        }
+        out[f"ff_{i}"] = {
+            "w_1": _conv_params(f"{p}.feed_forward.w_1", get),
+            "w_2": _conv_params(f"{p}.feed_forward.w_2", get),
+        }
+        out[f"ff_macaron_{i}"] = {
+            "w_1": _conv_params(f"{p}.feed_forward_macaron.w_1", get),
+            "w_2": _conv_params(f"{p}.feed_forward_macaron.w_2", get),
+        }
+        gamma = np.asarray(get(f"{p}.conv_module.norm.weight"))
+        beta = np.asarray(get(f"{p}.conv_module.norm.bias"))
+        mean = np.asarray(get(f"{p}.conv_module.norm.running_mean"))
+        var = np.asarray(get(f"{p}.conv_module.norm.running_var"))
+        bn_scale = gamma / np.sqrt(var + 1e-5)  # torch BatchNorm1d default eps
+        out[f"conv_module_{i}"] = {
+            "pointwise_conv1": _conv_params(f"{p}.conv_module.pointwise_conv1", get),
+            "depthwise_conv": _conv_params(f"{p}.conv_module.depthwise_conv", get),
+            "norm_scale": bn_scale,
+            "norm_bias": beta - mean * bn_scale,
+            "pointwise_conv2": _conv_params(f"{p}.conv_module.pointwise_conv2", get),
+        }
+        for norm in ("norm_ff", "norm_mha", "norm_ff_macaron", "norm_conv", "norm_final"):
+            out[f"{norm}_{i}"] = _ln(f"{p}.{norm}", get)
+    out["after_norm"] = _ln(f"{base}.after_norm", get)
+    return out
+
+
 def _backbone(prefix, get, bb_cfg, is_decoder=False):
     if bb_cfg.kind == "convnext":
         return _convnext_backbone(prefix, get, bb_cfg.num_layers)
@@ -160,11 +208,16 @@ def _backbone(prefix, get, bb_cfg, is_decoder=False):
         return out
     if bb_cfg.kind == "transformer":
         return _transformer_backbone(prefix, get, bb_cfg.num_blocks)
-    raise NotImplementedError(
-        f"torch import for backbone kind `{bb_cfg.kind}` is not implemented yet "
-        "(conformer checkpoints cannot be imported faithfully: the reference "
-        "conv module uses BatchNorm, ours uses LayerNorm)"
-    )
+    if bb_cfg.kind == "conformer":
+        if bb_cfg.conv_norm != "affine":
+            raise ValueError(
+                "conformer checkpoint import requires conv_norm='affine' in the "
+                "BackboneConfig: the reference conv module uses BatchNorm1d, whose "
+                "frozen running stats are folded into an affine transform on import "
+                "(training-from-scratch keeps the default LayerNorm)"
+            )
+        return _conformer_backbone(prefix, get, bb_cfg.num_blocks)
+    raise NotImplementedError(f"torch import for backbone kind `{bb_cfg.kind}`")
 
 
 def convert_torch_generator_state_dict(state_dict: dict, gen_cfg) -> dict:

@@ -70,6 +70,9 @@ class BackboneConfig:
     attention_dropout_rate: float = 0.2
     positional_dropout_rate: float = 0.2
     cnn_module_kernel: int = 7
+    # conformer conv-module norm: "layernorm" (training default) or "affine"
+    # (frozen-BatchNorm import path, see compat.torch_import)
+    conv_norm: str = "layernorm"
     # leanspeech
     kernel_size: int = 9
 

@@ -48,15 +48,33 @@ def export_model(
 
     exports: dict[str, bytes] = {}
     mel_bucket_size = model.mel_bucket
+    # multi-speaker/multi-language models get sids/lids as graph inputs,
+    # mirroring the reference's conditional ONNX inputs
+    # (/root/reference/optispeech/onnx/export.py:56-66)
+    has_spk_inputs = (model.cfg.generator.num_speakers > 1
+                      or model.cfg.generator.num_languages > 1)
     for tb in text_buckets:
-        def encode_fn(params, x, x_lengths, d, p, e):
-            return gen.apply({"params": params}, x, x_lengths, None, None, d, p, e,
-                             method=OptiSpeechGenerator.encode)
+        if has_spk_inputs:
+            def encode_fn(params, x, x_lengths, sids, lids, d, p, e):
+                return gen.apply({"params": params}, x, x_lengths, sids, lids, d, p, e,
+                                 method=OptiSpeechGenerator.encode)
+
+            id_inputs = (
+                jax.ShapeDtypeStruct((1,), jnp.int32),  # sids
+                jax.ShapeDtypeStruct((1,), jnp.int32),  # lids
+            )
+        else:
+            def encode_fn(params, x, x_lengths, d, p, e):
+                return gen.apply({"params": params}, x, x_lengths, None, None, d, p, e,
+                                 method=OptiSpeechGenerator.encode)
+
+            id_inputs = ()
 
         args = (
             params,
             jax.ShapeDtypeStruct((1, tb), jnp.int32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
+            *id_inputs,
             jax.ShapeDtypeStruct((), jnp.float32),
             jax.ShapeDtypeStruct((), jnp.float32),
             jax.ShapeDtypeStruct((), jnp.float32),
@@ -94,6 +112,9 @@ def export_model(
             },
             "text_processor": model.text_processor.asdict(),
             "speakers": model.speakers,
+            "num_speakers": model.cfg.generator.num_speakers,
+            "num_languages": model.cfg.generator.num_languages,
+            "has_speaker_inputs": has_spk_inputs,
         },
         "buckets": sorted({int(k.split("_")[1]) for k in exports if k.startswith("encode")}),
         "config": to_dict(model.cfg),
@@ -124,18 +145,52 @@ class ExportedOptiSpeech:
         self.sample_rate = inf["sample_rate"]
         self.hop_length = inf["hop_length"]
         self.inference_args = inf["inference_args"]
+        self.speakers = inf.get("speakers") or []
+        self.num_speakers = inf.get("num_speakers", 1)
+        self.num_languages = inf.get("num_languages", 1)
+        self.has_speaker_inputs = inf.get("has_speaker_inputs", False)
         self.text_buckets = self.metadata["buckets"]
 
     def prepare_input(self, text: str, lang: str | None = None,
+                      speaker: str | int | None = None,
                       split_sentences: bool = False) -> InferenceInputs:
+        """(reference onnx/infer.py:57-107 incl. speaker/language resolution)."""
+        languages = self.text_processor.languages
+        if lang is None:
+            lang = languages[0]
+        sid = None
+        if self.num_speakers > 1:
+            if speaker is None:
+                sid = 0
+            elif isinstance(speaker, str):
+                try:
+                    sid = self.speakers.index(speaker)
+                except (ValueError, IndexError):
+                    raise ValueError(
+                        f"A speaker with the given name `{speaker}` was not found in speaker list"
+                    )
+            else:
+                sid = int(speaker)
+        lid = None
+        if self.text_processor.is_multi_language:
+            try:
+                lid = languages.index(lang)
+            except (ValueError, IndexError):
+                raise ValueError(
+                    f"A language with the given name `{lang}` was not found in language list"
+                )
+
         input_ids, clean_text = self.text_processor(text, lang=lang, split_sentences=split_sentences)
         if split_sentences:
             lengths = [len(i) for i in input_ids]
         else:
             lengths = [len(input_ids)]
             input_ids = [input_ids]
+        n = len(input_ids)
         return InferenceInputs.from_ids_and_lengths(
             ids=input_ids, lengths=lengths, clean_text=clean_text,
+            sids=[sid] * n if sid is not None else None,
+            lids=[lid] * n if lid is not None else None,
             d_factor=self.inference_args["d_factor"],
             p_factor=self.inference_args["p_factor"],
             e_factor=self.inference_args["e_factor"],
@@ -149,10 +204,20 @@ class ExportedOptiSpeech:
 
         wavs, wav_lens, durs = [], [], []
         t0 = time.perf_counter()
-        for i in range(x.shape[0]):  # exported graphs are batch-1
+        # Batch strategy: exported graphs are batch-1 and multi-sentence input
+        # replays them in a loop (same as the reference ONNX runtime's default
+        # usage); large-batch serving should use the live model's bucketed
+        # `synthesise` instead.
+        for i in range(x.shape[0]):
+            id_args = ()
+            if self.has_speaker_inputs:
+                sid = int(inputs.sids[i]) if inputs.sids is not None else 0
+                lid = int(inputs.lids[i]) if inputs.lids is not None else 0
+                id_args = (np.asarray([sid], np.int32), np.asarray([lid], np.int32))
             enc = self._graphs[f"encode_{tb}"].call(
                 self.params, x[i : i + 1],
                 np.asarray([min(int(inputs.x_lengths[i]), tb)], np.int32),
+                *id_args,
                 np.float32(inputs.d_factor), np.float32(inputs.p_factor),
                 np.float32(inputs.e_factor),
             )

@@ -65,7 +65,8 @@ def make_backbone(cfg, dim, dtype, name, is_decoder=False):
             num_blocks=cfg.num_blocks, dropout_rate=cfg.dropout,
             positional_dropout_rate=cfg.positional_dropout_rate,
             attention_dropout_rate=cfg.attention_dropout_rate,
-            cnn_module_kernel=cfg.cnn_module_kernel, dtype=dtype, name=name,
+            cnn_module_kernel=cfg.cnn_module_kernel, conv_norm=cfg.conv_norm,
+            dtype=dtype, name=name,
         )
     if cfg.kind == "leanspeech":
         return LeanSpeechBackbone(dim=dim, kernel_size=cfg.kernel_size,

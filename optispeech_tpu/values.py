@@ -47,6 +47,9 @@ class InferenceInputs(BaseValueContainer):
     def from_ids_and_lengths(cls, ids, lengths, **kwargs) -> "InferenceInputs":
         x = numpy_pad_sequences(ids).astype(np.int64)
         x_lengths = np.array(lengths, dtype=np.int64)
+        for key in ("sids", "lids"):
+            if kwargs.get(key) is not None:
+                kwargs[key] = np.asarray(kwargs[key], dtype=np.int64)
         return cls(x=x, x_lengths=x_lengths, **kwargs).as_numpy()
 
 

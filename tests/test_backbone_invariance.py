@@ -11,10 +11,14 @@ from optispeech_tpu.models.generator import make_backbone
 from test_generator import tiny_cfg
 
 
-@pytest.mark.parametrize("kind", ["convnext", "transformer", "conformer", "leanspeech"])
+@pytest.mark.parametrize("kind", ["convnext", "transformer", "leanspeech"])
 # lightspeech is intentionally absent: the reference EncSepConvLayer masks only
 # before conv1, so conv2 reads conv1 spill past the valid edge and outputs
-# legitimately depend on pad width (faithful behaviour, k=25 > margin)
+# legitimately depend on pad width (faithful behaviour, k=25 > margin).
+# conformer is likewise absent: the reference applies the conv module (k=7)
+# unmasked (_conformer/encoder_layer.py:148-153), so tensor-edge zero padding
+# leaks inward ~3 positions per block — faithful behaviour, verified instead by
+# test_reference_parity.py against the actual reference code.
 def test_padding_invariance(rng, kind):
     cfg = tiny_cfg(kind, kind).encoder
     dim = 32

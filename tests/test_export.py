@@ -37,3 +37,49 @@ def test_export_roundtrip(tmp_path):
     live = api.synthesise(api.prepare_input("hello world", split_sentences=False))
     n = min(out.wav.shape[-1], live.wav.shape[-1])
     np.testing.assert_allclose(out.wav[0, :n], np.asarray(live.wav)[0, :n], atol=2e-3)
+
+
+def test_export_roundtrip_multispeaker_multilang(tmp_path):
+    """sids/lids as exported-graph inputs (reference onnx/export.py:56-66,
+    onnx/infer.py:57-107): outputs must match the live model per speaker and
+    differ across speakers."""
+    cfg = ExperimentConfig(
+        generator=tiny_cfg(num_speakers=3, num_languages=2),
+        data=DataConfig(
+            text_bucket_size=16, mel_bucket_size=32,
+            text_processor=TextProcessorConfig(tokenizer="char", languages=("en-us", "de")),
+        ),
+    )
+    api = OptiSpeech(cfg, seed=0, speakers=["alice", "bob", "carol"])
+    out_dir = str(tmp_path / "exported_ms")
+    export_model(api, out_dir, text_buckets=(16, 32), frames_per_token=8)
+
+    runtime = ExportedOptiSpeech(out_dir)
+    assert runtime.has_speaker_inputs
+    assert runtime.speakers == ["alice", "bob", "carol"]
+    assert runtime.num_speakers == 3 and runtime.num_languages == 2
+
+    wavs = {}
+    for speaker in ("alice", "carol"):
+        inputs = runtime.prepare_input("hello world", speaker=speaker, lang="de")
+        assert inputs.sids is not None and inputs.lids is not None
+        assert int(inputs.lids[0]) == 1
+        out = runtime.synthesise(inputs)
+        assert np.isfinite(out.wav).all()
+        wavs[speaker] = out.wav
+
+        live = api.synthesise(api.prepare_input(
+            "hello world", speaker=speaker, language="de", split_sentences=False))
+        n = min(out.wav.shape[-1], live.wav.shape[-1])
+        np.testing.assert_allclose(out.wav[0, :n], np.asarray(live.wav)[0, :n], atol=2e-3)
+
+    # speaker embedding actually flows through the exported graph
+    n = min(wavs["alice"].shape[-1], wavs["carol"].shape[-1])
+    assert np.abs(wavs["alice"][0, :n] - wavs["carol"][0, :n]).max() > 1e-4
+
+    # unknown speaker name errors like the reference
+    try:
+        runtime.prepare_input("hi", speaker="nobody")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

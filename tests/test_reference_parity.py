@@ -61,6 +61,21 @@ def _backbones(kind, M):
                            num_blocks=2, dropout=0.2, positional_dropout_rate=0.2,
                            attention_dropout_rate=0.2)
         return t, t, c, c
+    if kind == "conformer":
+        t = partial(
+            M.Conformer, attention_heads=2, linear_units=64, num_blocks=2,
+            dropout_rate=0.2, positional_dropout_rate=0.2, attention_dropout_rate=0.2,
+            normalize_before=True, concat_after=False, positionwise_layer_type="conv1d",
+            positionwise_conv_kernel_size=1, macaron_style=True,
+            pos_enc_layer_type="rel_pos", selfattention_layer_type="rel_selfattn",
+            activation_type="swish", use_cnn_module=True, cnn_module_kernel=7,
+            zero_triu=False, init_type="xavier_uniform",
+        )
+        c = BackboneConfig(kind="conformer", attention_heads=2, linear_units=64,
+                           num_blocks=2, dropout=0.2, positional_dropout_rate=0.2,
+                           attention_dropout_rate=0.2, cnn_module_kernel=7,
+                           conv_norm="affine")
+        return t, t, c, c
     raise ValueError(kind)
 
 
@@ -93,6 +108,16 @@ def build_pair(kind, num_speakers=1, num_languages=1, separable=False, seed=0):
         num_languages=num_languages,
         data_statistics=None,
     )
+    if kind == "conformer":
+        # populate non-trivial BatchNorm running stats so the frozen-stat
+        # folding in the converter is actually exercised
+        tgen.train()
+        with torch.no_grad():
+            for _ in range(3):
+                feats = torch.randn(2, 24, DIM)
+                pad = torch.zeros(2, 24, dtype=torch.bool)
+                tgen.encoder(feats, pad)
+                tgen.decoder(torch.randn(2, 24, DIM), pad)
     tgen.eval()
     with torch.no_grad():
         # bias random-init log-durations toward small positive integers so the
@@ -169,7 +194,7 @@ def assert_synthesise_parity(tgen, gen_cfg, params, sids=None, lids=None,
         assert mel_l1 <= 1e-2, f"mel-L1 {mel_l1} exceeds the parity gate"
 
 
-@pytest.mark.parametrize("kind", ["convnext", "lightspeech", "transformer"])
+@pytest.mark.parametrize("kind", ["convnext", "lightspeech", "transformer", "conformer"])
 def test_reference_synthesise_parity(kind):
     tgen, gen_cfg, params = build_pair(kind, separable=(kind == "lightspeech"))
     assert_synthesise_parity(tgen, gen_cfg, params)
