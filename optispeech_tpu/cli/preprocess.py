@@ -36,11 +36,14 @@ def main(argv=None):
         loudness_norm_target_db=pp.loudness_norm_target_db,
         trim_silence=pp.trim_silence,
         trim_silence_args=dict(
+            method=pp.trim_method,
+            threshold=pp.trim_silence_threshold,
             threshold_db=pp.trim_silence_threshold_db,
             chunk=pp.trim_silence_chunk,
             keep_chunks_before=pp.trim_keep_chunks_before,
             keep_chunks_after=pp.trim_keep_chunks_after,
         ),
+        pitch_extractor=pp.pitch_extractor,
     )
     preprocess_dataset(
         args.dataset_dir, args.output_dir, text_processor, feature_extractor,

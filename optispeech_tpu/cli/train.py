@@ -67,8 +67,13 @@ def build_loaders(cfg, synthetic: bool, overfit: int, limit: float,
     if limit < 1.0 and hasattr(train_ds, "file_paths"):
         n = max(int(len(train_ds.file_paths) * limit), cfg.data.batch_size)
         train_ds.file_paths = train_ds.file_paths[:n]
-    train = DataLoader(train_ds, cfg.data.batch_size, collate, shuffle=True, seed=cfg.data.seed)
-    val = DataLoader(val_ds, cfg.data.batch_size, collate, shuffle=False, drop_last=False)
+    import jax
+
+    shard = dict(shard_id=jax.process_index(), num_shards=jax.process_count())
+    train = DataLoader(train_ds, cfg.data.batch_size, collate, shuffle=True,
+                       seed=cfg.data.seed, **shard)
+    val = DataLoader(val_ds, cfg.data.batch_size, collate, shuffle=False,
+                     drop_last=False, **shard)
     return train, val
 
 
@@ -87,8 +92,21 @@ def main(argv=None):
     p.add_argument("--forced-resume", default=None,
                    help="load generator weights from an inference checkpoint, fresh optimizers")
     p.add_argument("--profile-steps", default=None, help="START,STOP jax.profiler capture")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host run: jax.distributed.initialize() from the "
+                        "cluster env (TPU pod / COORDINATOR_ADDRESS), per-host "
+                        "data sharding (reference configs/trainer/ddp.yaml role)")
     p.add_argument("overrides", nargs="*", help="dotted config overrides key=value")
     args = p.parse_args(argv)
+
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()
+        log.info(
+            f"Distributed: process {jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+        )
 
     cfg = load_experiment(args.config, args.overrides)
 

@@ -102,6 +102,8 @@ class VocoderConfig:
     intermediate_dim: int = 1152
     num_layers: int = 8
     drop_path: float = 0.1
+    # inference-only fused Pallas trunk (ops/pallas_convnext.py); ignored off-TPU
+    fused_pallas: bool = False
 
 
 @dataclass(frozen=True)
@@ -191,6 +193,11 @@ class TrainArgs:
     evaluate_periodicity: bool = False
     evaluate_utmos: bool = False
     evaluate_pesq: bool = False
+    evaluate_mcd: bool = False
+    # full-utterance synthesis eval: how many val utterances go through the
+    # real inference path per validation (reference on_validation_end runs 2;
+    # perceptual metrics here cover up to this many full wavs, not GAN segments)
+    val_synth_utterances: int = 8
     compute_dtype: str = "bfloat16"  # activations; params/optimizer stay f32
 
 
@@ -219,8 +226,14 @@ class PreprocessConfig:
 
     preemphasis_filter_coef: Optional[float] = None
     loudness_norm_target_db: Optional[float] = -24.0
+    # pitch tracker registry name (data/pitch.py): ensemble | autocorr | yin
+    pitch_extractor: str = "ensemble"
     trim_silence: bool = False
-    trim_silence_threshold_db: float = -40.0
+    # "spectral" = VAD-style chunk speech probabilities (data/vad.py, the
+    # silero role); "energy" = plain RMS gate (data/dsp.py fallback)
+    trim_method: str = "spectral"
+    trim_silence_threshold: float = 0.2  # spectral VAD probability threshold
+    trim_silence_threshold_db: float = -40.0  # energy-gate threshold
     trim_silence_chunk: int = 720
     trim_keep_chunks_before: int = 1
     trim_keep_chunks_after: int = 1
@@ -267,6 +280,9 @@ class ExperimentConfig:
     ckpt_keep: int = 10
     log_every_n_steps: int = 100
     num_devices: Optional[int] = None  # None = all visible
+    # optional wandb sink (reference configs/logger/wandb.yaml); CSV + JSONL
+    # (+ TensorBoard when installed) are always on
+    wandb_project: Optional[str] = None
 
 
 # ---------------------------------------------------------------------------

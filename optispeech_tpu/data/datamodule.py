@@ -172,11 +172,29 @@ class BucketedCollate:
 
 
 class DataLoader:
-    """Length-grouped, shuffled batching with a background prefetch thread."""
+    """Length-grouped, shuffled batching with a background prefetch thread.
+
+    Multi-host: pass `shard_id=jax.process_index(), num_shards=jax.process_count()`.
+    Every process computes the IDENTICAL global batch order (same seed/epoch),
+    then collates only its `batch_size/num_shards` slice of each batch — the
+    role of torch DistributedSampler under the reference's Lightning DDP
+    (configs/trainer/ddp.yaml), but sliced within-batch so the global batch is
+    reassembled exactly by `parallel.shard_batch`.
+
+    Resume: `state_dict()/load_state_dict()` capture (epoch, position) so a
+    restored run continues from the exact batch it stopped at (SURVEY.md §5
+    deterministic-iterator recommendation; Lightning loads loader state from
+    its checkpoints the same way)."""
 
     def __init__(self, dataset, batch_size: int, collate: BucketedCollate,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
-                 length_group_size: int = 8, prefetch: int = 2):
+                 length_group_size: int = 8, prefetch: int = 2,
+                 shard_id: int = 0, num_shards: int = 1):
+        if batch_size % num_shards:
+            raise ValueError(
+                f"global batch_size {batch_size} must be divisible by "
+                f"num_shards {num_shards}"
+            )
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
@@ -185,7 +203,18 @@ class DataLoader:
         self.drop_last = drop_last
         self.length_group_size = length_group_size
         self.prefetch = prefetch
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self.epoch = 0
+        self._pos = 0  # batches already consumed in the current epoch
+
+    def state_dict(self) -> dict:
+        return {"epoch": self.epoch, "pos": self._pos, "seed": self.seed}
+
+    def load_state_dict(self, state: dict):
+        self.epoch = int(state["epoch"])
+        self._pos = int(state["pos"])
+        self.seed = int(state.get("seed", self.seed))
 
     def _batch_indices(self):
         n = len(self.dataset)
@@ -205,6 +234,10 @@ class DataLoader:
                     batches.append(bat)
         if self.shuffle:
             rnd.shuffle(batches)
+        if self.num_shards > 1:
+            local = self.batch_size // self.num_shards
+            lo = self.shard_id * local
+            batches = [bat[lo : lo + local] for bat in batches]
         return batches
 
     def __len__(self):
@@ -212,8 +245,7 @@ class DataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
-        batches = self._batch_indices()
-        self.epoch += 1
+        batches = self._batch_indices()[self._pos :]
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
@@ -228,4 +260,7 @@ class DataLoader:
             item = q.get()
             if item is stop:
                 break
+            self._pos += 1
             yield item
+        self.epoch += 1
+        self._pos = 0

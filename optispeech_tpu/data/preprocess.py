@@ -36,21 +36,33 @@ class FeatureExtractor:
     preemphasis_filter_coef: Optional[float] = None
     trim_silence: bool = False
     trim_silence_args: Optional[dict] = None
-    pitch_extractor: Optional[object] = None
+    # registry name ("ensemble"/"autocorr"/"yin", data/pitch.py) or an extractor
+    # object; default mirrors the reference's EnsemblePitchExtractor default
+    pitch_extractor: Optional[object] = "ensemble"
 
     def __post_init__(self):
         if self.pitch_extractor is None:
-            f = self.features
-            self.pitch_extractor = dsp.AutocorrelationPitchExtractor(
-                sample_rate=f.sample_rate, n_feats=f.n_feats, hop_length=f.hop_length,
-                n_fft=f.n_fft, win_length=f.win_length, f_min=f.f_min, f_max=f.f_max,
-            )
+            self.pitch_extractor = "ensemble"
+        if isinstance(self.pitch_extractor, str):
+            from .pitch import make_pitch_extractor
+
+            self.pitch_extractor = make_pitch_extractor(self.pitch_extractor, self.features)
 
     def __call__(self, audio_path: str):
         f = self.features
         wav, _ = load_wav(audio_path, sr=f.sample_rate, mono=True)
         if self.trim_silence:
-            wav = dsp.trim_silence_energy(wav, f.sample_rate, **(self.trim_silence_args or {}))
+            args = dict(self.trim_silence_args or {})
+            if args.pop("method", "spectral") == "spectral":
+                from .vad import trim_silence_spectral
+
+                args.pop("threshold_db", None)
+                chunk = args.pop("chunk", 480)
+                wav = trim_silence_spectral(wav, f.sample_rate,
+                                            samples_per_chunk=chunk, **args)
+            else:
+                args.pop("threshold", None)
+                wav = dsp.trim_silence_energy(wav, f.sample_rate, **args)
         if self.preemphasis_filter_coef is not None:
             wav = np.append(wav[0], wav[1:] - self.preemphasis_filter_coef * wav[:-1]).astype(np.float32)
         if self.loudness_norm_target_db is not None:

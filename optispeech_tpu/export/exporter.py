@@ -153,8 +153,12 @@ class ExportedOptiSpeech:
 
     def prepare_input(self, text: str, lang: str | None = None,
                       speaker: str | int | None = None,
-                      split_sentences: bool = False) -> InferenceInputs:
-        """(reference onnx/infer.py:57-107 incl. speaker/language resolution)."""
+                      split_sentences: bool = False,
+                      d_factor: float | None = None,
+                      p_factor: float | None = None,
+                      e_factor: float | None = None) -> InferenceInputs:
+        """(reference onnx/infer.py:57-107 incl. speaker/language resolution
+        and d/p/e factor overrides)."""
         languages = self.text_processor.languages
         if lang is None:
             lang = languages[0]
@@ -191,9 +195,9 @@ class ExportedOptiSpeech:
             ids=input_ids, lengths=lengths, clean_text=clean_text,
             sids=[sid] * n if sid is not None else None,
             lids=[lid] * n if lid is not None else None,
-            d_factor=self.inference_args["d_factor"],
-            p_factor=self.inference_args["p_factor"],
-            e_factor=self.inference_args["e_factor"],
+            d_factor=d_factor if d_factor is not None else self.inference_args["d_factor"],
+            p_factor=p_factor if p_factor is not None else self.inference_args["p_factor"],
+            e_factor=e_factor if e_factor is not None else self.inference_args["e_factor"],
         )
 
     def synthesise(self, inputs: InferenceInputs) -> InferenceOutputs:

@@ -115,7 +115,8 @@ class OptiSpeechGenerator(nn.Module):
         self.vocoder = WaveNeXt(
             input_channels=c.dim, dim=v.dim, intermediate_dim=v.intermediate_dim,
             num_layers=v.num_layers, n_fft=c.features.n_fft, hop_length=c.features.hop_length,
-            sample_rate=c.features.sample_rate, drop_path=v.drop_path, dtype=self.dtype,
+            sample_rate=c.features.sample_rate, drop_path=v.drop_path,
+            fused_pallas=v.fused_pallas, dtype=self.dtype,
         )
         if c.num_speakers > 1:
             self.sid_embed = nn.Embed(c.num_speakers, c.dim, dtype=self.dtype)

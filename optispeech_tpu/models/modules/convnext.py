@@ -36,7 +36,25 @@ class ConvNeXtBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, fused: bool = False):
+        if fused and not self.is_initializing():
+            # whole-block fused Pallas kernel (ops/pallas_convnext.py): the
+            # (T, intermediate) MLP activation never leaves VMEM. Params were
+            # created by the standard path at init; read them directly.
+            from ...ops.pallas_convnext import convnext_block_fused, pick_tile
+
+            t_tile = pick_tile(x.shape[1])
+            p = self.variables["params"]
+            if t_tile is not None and "gamma" in p:
+                return convnext_block_fused(
+                    x,
+                    p["dwconv"]["kernel"][:, 0, :], p["dwconv"]["bias"],
+                    p["norm"]["scale"], p["norm"]["bias"],
+                    p["pwconv1"]["kernel"], p["pwconv1"]["bias"],
+                    p["pwconv2"]["kernel"], p["pwconv2"]["bias"],
+                    p["gamma"].astype(jnp.float32),
+                    t_tile=t_tile,
+                )
         residual = x
         x = nn.Conv(
             self.dim, (7,), padding=3, feature_group_count=self.dim,
@@ -71,8 +89,11 @@ class ConvNeXtBackbone(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, padding_mask=None, deterministic: bool = True):
-        """padding_mask: (B, T) bool, True on PAD positions (torch convention)."""
+    def __call__(self, x, padding_mask=None, deterministic: bool = True,
+                 fused: bool = False):
+        """padding_mask: (B, T) bool, True on PAD positions (torch convention).
+        `fused=True` routes each block through the whole-block Pallas kernel
+        (inference only — it has no drop-path and assumes deterministic)."""
         lsiv = self.layer_scale_init_value or 1.0 / self.num_layers
         if self.num_layers > 1:
             rates = [self.drop_path * i / (self.num_layers - 1) for i in range(self.num_layers)]
@@ -84,7 +105,7 @@ class ConvNeXtBackbone(nn.Module):
                 dim=self.dim, intermediate_dim=self.intermediate_dim,
                 drop_path_rate=dpr, layer_scale_init_value=lsiv,
                 dtype=self.dtype, name=f"block_{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic=deterministic, fused=fused and deterministic)
             if keep is not None:
                 x = x * keep
         return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="final_layer_norm")(x)

@@ -45,17 +45,24 @@ class WaveNeXt(nn.Module):
     sample_rate: int = 24000
     drop_path: float = 0.1
     layer_scale_init_value: Optional[float] = None
+    # inference: run each trunk block as one fused Pallas kernel so the
+    # (T, intermediate_dim=1152) MLP activation stays in VMEM (VERDICT r1
+    # item 4; A/B'd in bench.py detail). Training always uses the XLA path.
+    fused_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, f0=None, padding_mask=None, deterministic: bool = True):
         """x: (B, T, input_channels) frame features -> (B, T*hop) waveform."""
+        from ...ops.pallas_convnext import fused_supported
+
         x = nn.Conv(self.dim, (7,), padding=3, dtype=self.dtype, name="embed")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        fused = self.fused_pallas and deterministic and fused_supported()
         x = ConvNeXtBackbone(
             dim=self.dim, intermediate_dim=self.intermediate_dim,
             num_layers=self.num_layers, drop_path=self.drop_path,
             layer_scale_init_value=self.layer_scale_init_value,
             dtype=self.dtype, name="backbone",
-        )(x, padding_mask, deterministic=deterministic)
+        )(x, padding_mask, deterministic=deterministic, fused=fused)
         return WaveNeXtHead(self.n_fft, self.hop_length, dtype=self.dtype, name="head")(x)

@@ -22,6 +22,24 @@ from jax.experimental.pallas import tpu as pltpu
 HALO = 3  # k=7 depthwise conv, symmetric
 
 
+def pick_tile(t: int, candidates=(512, 256, 128, 64)) -> int | None:
+    """Largest tile length dividing T (None = no legal tiling; caller falls
+    back to the XLA path). Mel buckets are multiples of 128, so production
+    shapes always tile."""
+    for c in candidates:
+        if t % c == 0 and t >= c:
+            return c
+    return None
+
+
+def fused_supported() -> bool:
+    """Mosaic (Pallas TPU) compiles only on TPU backends; the tunneled chip
+    registers as platform 'axon' but is a TPU underneath."""
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _erf(x):
     """Abramowitz-Stegun 7.1.26 rational approximation (|err| <= 1.5e-7 —
     below f32 resolution here); Pallas TPU does not lower lax.erf."""

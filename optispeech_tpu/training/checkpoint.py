@@ -55,10 +55,26 @@ class TrainCheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
         )
 
-    def save(self, step: int, state: Any, cfg: ExperimentConfig):
+    def save(self, step: int, state: Any, cfg: ExperimentConfig,
+             loader_state: dict | None = None):
         with open(os.path.join(self.directory, "config.json"), "w") as f:
             json.dump({"config": to_dict(cfg)}, f, indent=2)
+        if loader_state is not None:
+            # data-iterator position (epoch, batch pos) so resume is
+            # step-deterministic (SURVEY.md §5; Lightning's loader state)
+            with open(os.path.join(self.directory, "loader_state.json"), "w") as f:
+                json.dump({"step": step, "loader": loader_state}, f)
         self.manager.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
+
+    def loader_state(self, step: int) -> dict | None:
+        """The data-iterator state saved alongside checkpoint `step` (only the
+        latest save's state is kept; None if it belongs to another step)."""
+        path = os.path.join(self.directory, "loader_state.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            meta = json.load(f)
+        return meta["loader"] if meta.get("step") == step else None
 
     def latest_step(self):
         return self.manager.latest_step()

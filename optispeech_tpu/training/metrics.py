@@ -65,14 +65,42 @@ def mel_cepstral_distortion(ref_wav, gen_wav, sample_rate=24000, n_mfcc=13):
     ))
 
 
-def utmos_score(wavs_16khz, device=None):
-    """Optional UTMOS MOS predictor (reference vendor/metrics/UTMOS.py:22);
-    needs the external model + fairseq."""
-    raise ImportError(
-        "UTMOS evaluation requires the external UTMOS checkpoint and fairseq; "
-        "install them and plug a scorer into Trainer.validate (reference "
-        "behaviour: lazily loaded when train_args.evaluate_utmos is set)."
-    )
+_UTMOS_CACHE: dict = {}
+
+
+def utmos_score(wavs_16khz, model_path: str | None = None):
+    """Optional UTMOS MOS predictor (reference vendor/metrics/UTMOS.py:10-28,
+    lazily loaded when train_args.evaluate_utmos is set).
+
+    The reference downloads a torch UTMOS checkpoint from HuggingFace at
+    first use; this environment has no network, so the integration point is a
+    local TorchScript export of any MOS predictor (UTMOS strong publishes one):
+    pass `model_path` or set $OPTISPEECH_UTMOS_JIT to a .pt that maps a
+    (1, 1, T) 16 kHz float waveform to a (scalar-reducible) MOS tensor.
+    Returns one score per wav."""
+    import os
+
+    path = model_path or os.environ.get("OPTISPEECH_UTMOS_JIT")
+    if not path or not os.path.exists(path):
+        raise ImportError(
+            "UTMOS evaluation needs a local TorchScript MOS model: set "
+            "$OPTISPEECH_UTMOS_JIT (or pass model_path) to the exported "
+            "UTMOS .pt file (reference behaviour: lazily fetched from HF, "
+            "vendor/metrics/UTMOS.py:10-28)"
+        )
+    if path not in _UTMOS_CACHE:
+        import torch
+
+        _UTMOS_CACHE[path] = torch.jit.load(path, map_location="cpu").eval()
+    model = _UTMOS_CACHE[path]
+    import torch
+
+    scores = []
+    with torch.no_grad():
+        for w in wavs_16khz:
+            x = torch.as_tensor(np.asarray(w, np.float32))[None, None, :]
+            scores.append(float(model(x).float().mean()))
+    return scores
 
 
 def pesq_score(ref_wavs_16khz, gen_wavs_16khz):

@@ -100,6 +100,46 @@ def test_dataloader_iterates_and_groups():
     assert len(batches2) == 8
 
 
+def test_dataloader_shards_partition_each_global_batch():
+    """Per-host sharding (multi-host DP): every shard sees the same global
+    batch order and takes a disjoint batch_size/num_shards slice, so
+    shard_batch reassembles exactly the single-host global batch."""
+    ds = SyntheticDataset(n_items=32, n_feats=20, hop_length=64)
+    collate = BucketedCollate(n_feats=20, statistics=DataStatistics(), hop_length=64,
+                              text_bucket=16, mel_bucket=64)
+    mk = lambda sid, n: DataLoader(ds, batch_size=4, collate=collate, shuffle=True,
+                                   seed=0, shard_id=sid, num_shards=n)
+    global_batches = mk(0, 1)._batch_indices()
+    s0, s1 = mk(0, 2)._batch_indices(), mk(1, 2)._batch_indices()
+    for g, a, b in zip(global_batches, s0, s1):
+        assert a + b == g  # concatenated shards == the global batch, in order
+        assert len(a) == len(b) == 2
+
+
+def test_dataloader_state_dict_resumes_mid_epoch():
+    ds = SyntheticDataset(n_items=32, n_feats=20, hop_length=64)
+    collate = BucketedCollate(n_feats=20, statistics=DataStatistics(), hop_length=64,
+                              text_bucket=16, mel_bucket=64)
+    mk = lambda: DataLoader(ds, batch_size=4, collate=collate, shuffle=True, seed=0)
+    loader = mk()
+    it = iter(loader)
+    consumed = [next(it) for _ in range(3)]
+    saved = loader.state_dict()
+    assert saved == {"epoch": 0, "pos": 3, "seed": 0}
+
+    # a fresh loader restored from the state continues with batch 3 onward
+    resumed = mk()
+    resumed.load_state_dict(saved)
+    rest = list(resumed)
+    full = list(mk())
+    assert len(rest) == len(full) - 3
+    for got, want in zip(rest, full[3:]):
+        np.testing.assert_array_equal(got["x"], want["x"])
+    # epoch rolled over after finishing
+    assert resumed.state_dict()["epoch"] == 1
+    assert resumed.state_dict()["pos"] == 0
+
+
 def test_textwav_dataset_reads_reference_format(tmp_path):
     # write a datafile pair in the reference's on-disk format
     base = tmp_path / "data" / "utt1"

@@ -83,3 +83,32 @@ def test_export_roundtrip_multispeaker_multilang(tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_speak_cli_writes_wavs(tmp_path):
+    """ospeech-tpu console entry point: artifact -> wav files (the reference's
+    standalone `ospeech` CLI role, ospeech/inference/__init__.py:148-200)."""
+    cfg = ExperimentConfig(
+        generator=tiny_cfg(),
+        data=DataConfig(
+            text_bucket_size=16, mel_bucket_size=32,
+            text_processor=TextProcessorConfig(tokenizer="char"),
+        ),
+    )
+    api = OptiSpeech(cfg, seed=0)
+    art = str(tmp_path / "artifact")
+    export_model(api, art, text_buckets=(16, 32), frames_per_token=8)
+
+    from optispeech_tpu.cli.speak import main as speak_main
+
+    out_dir = str(tmp_path / "wavs")
+    speak_main([art, "hello world. bye now.", out_dir, "--d-factor", "1.2"])
+    import os
+
+    wavs = sorted(os.listdir(out_dir))
+    assert wavs == ["gen-1.wav", "gen-2.wav"]  # sentence-split -> two wavs
+    from optispeech_tpu.utils.wavio import load_wav
+
+    wav, sr = load_wav(os.path.join(out_dir, "gen-1.wav"))
+    assert sr == cfg.generator.features.sample_rate
+    assert len(wav) > 0 and np.isfinite(wav).all()

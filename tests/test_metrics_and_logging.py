@@ -1,0 +1,60 @@
+"""Metric sinks (CSV/JSONL/TB/wandb gating) + the optional UTMOS scorer."""
+
+import json
+
+import numpy as np
+import pytest
+
+from optispeech_tpu.training.metrics import utmos_score
+from optispeech_tpu.training.trainer import MetricLogger
+
+
+def test_metric_logger_writes_csv_and_jsonl(tmp_path):
+    ml = MetricLogger(str(tmp_path), use_tensorboard=False)
+    ml.log(10, {"total_loss/generator": 1.5, "grad_norm/generator": 0.25})
+    ml.log(20, {"total_loss/generator": 1.25})
+    ml.close()
+
+    csv = (tmp_path / "metrics.csv").read_text().splitlines()
+    assert csv[0] == "step,metric,value"
+    assert "10,total_loss/generator,1.5" in csv
+
+    rows = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert rows[0] == {"step": 10, "total_loss/generator": 1.5, "grad_norm/generator": 0.25}
+    assert rows[1]["step"] == 20
+
+
+def test_metric_logger_wandb_gated(tmp_path):
+    # wandb isn't installed in this image: the sink must degrade to a warning
+    ml = MetricLogger(str(tmp_path), use_tensorboard=False, wandb_project="proj")
+    assert ml.wandb is None
+    ml.log(1, {"m": 1.0})
+    ml.close()
+
+
+def test_utmos_score_raises_without_model(monkeypatch):
+    monkeypatch.delenv("OPTISPEECH_UTMOS_JIT", raising=False)
+    with pytest.raises(ImportError, match="OPTISPEECH_UTMOS_JIT"):
+        utmos_score([np.zeros(16000, np.float32)])
+
+
+def test_utmos_score_runs_local_torchscript_model(tmp_path, monkeypatch):
+    """The integration contract: a TorchScript model mapping (1,1,T) 16 kHz
+    audio to a MOS tensor. A stand-in scorer (5 * mean|x| clipped) proves the
+    plumbing end-to-end."""
+    import torch
+
+    class FakeMOS(torch.nn.Module):
+        def forward(self, x):
+            return (x.abs().mean() * 50.0).clamp(1.0, 5.0)
+
+    path = str(tmp_path / "mos.pt")
+    torch.jit.script(FakeMOS()).save(path)
+    monkeypatch.setenv("OPTISPEECH_UTMOS_JIT", path)
+
+    quiet = np.full(16000, 0.01, np.float32)
+    loud = np.full(16000, 0.09, np.float32)
+    scores = utmos_score([quiet, loud])
+    assert len(scores) == 2
+    assert scores[0] == pytest.approx(1.0, abs=1e-3)  # 0.01*50 clamps to 1
+    assert scores[1] == pytest.approx(4.5, abs=1e-3)

@@ -44,3 +44,44 @@ def test_fused_block_matches_reference(rng):
     out_1tile = convnext_block_fused(x, dw, dwb, lnw, lnb, w1, b1, w2, b2, gamma,
                                      t_tile=256, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_1tile), atol=3e-3)
+
+
+def test_pick_tile():
+    from optispeech_tpu.ops.pallas_convnext import pick_tile
+
+    assert pick_tile(1792) == 256
+    assert pick_tile(1024) == 512
+    assert pick_tile(128) == 128
+    assert pick_tile(40) is None  # no legal tiling -> caller falls back
+
+
+def test_backbone_fused_flag_matches_standard_path(rng, monkeypatch):
+    """The production wiring (ConvNeXtBackbone(..., fused=True) reading flax
+    params into the kernel) must reproduce the standard path. The kernel is
+    forced into interpret mode for the CPU harness; on the TPU chip the same
+    wiring compiles via Mosaic (A/B'd in bench.py detail)."""
+    import optispeech_tpu.ops.pallas_convnext as pc
+    from optispeech_tpu.models.modules.convnext import ConvNeXtBackbone
+
+    orig = pc.convnext_block_fused
+    calls = []
+
+    def interp(*args, **kw):
+        calls.append(1)
+        return orig(*args, interpret=True, **kw)
+
+    monkeypatch.setattr(pc, "convnext_block_fused", interp)
+
+    model = ConvNeXtBackbone(dim=64, intermediate_dim=128, num_layers=2)
+    x = jnp.asarray(rng.normal(size=(2, 128, 64)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    base = model.apply(variables, x)
+    fused = model.apply(variables, x, fused=True)
+    assert len(calls) == 2  # both blocks routed through the kernel
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=3e-3)
+
+    # padding mask interacts correctly with the fused blocks
+    pad = jnp.zeros((2, 128), bool).at[:, 100:].set(True)
+    base_m = model.apply(variables, x, pad)
+    fused_m = model.apply(variables, x, pad, fused=True)
+    np.testing.assert_allclose(np.asarray(fused_m), np.asarray(base_m), atol=3e-3)

@@ -50,3 +50,53 @@ def test_trainer_fit_val_ckpt_and_resume(tmp_path):
 
     api = OptiSpeech.load_from_checkpoint(os.path.join(out_dir, "inf"))
     assert api.cfg.generator.dim == cfg.generator.dim
+
+
+def test_resume_matches_uninterrupted_run(tmp_path):
+    """Step-deterministic resume (VERDICT r1 item 8): train 2 steps, restart
+    from the checkpoint with a FRESH loader, train 2 more — the final params
+    must match one uninterrupted 4-step run, which requires the restored
+    data-iterator position to replay the exact remaining batches."""
+    import jax
+
+    from optispeech_tpu.parallel import replicate_state
+    from optispeech_tpu.training.state import init_train_state
+
+    cfg = tiny_experiment(pretraining_steps=0)
+    cfg = dataclasses.replace(
+        cfg, log_every_n_steps=100, val_every_n_steps=1000, ckpt_every_n_steps=100,
+        num_devices=4,
+    )
+    feats = cfg.generator.features
+    ds = SyntheticDataset(n_items=16, n_feats=feats.n_feats, hop_length=feats.hop_length,
+                          text_range=(8, 16), mel_range=(32, 64))
+    collate = BucketedCollate(
+        n_feats=feats.n_feats, statistics=cfg.data.statistics, hop_length=feats.hop_length,
+        text_bucket=cfg.data.text_bucket_size, mel_bucket=cfg.data.mel_bucket_size,
+        max_text_len=cfg.data.text_bucket_size, max_mel_len=cfg.data.mel_bucket_size,
+    )
+    fresh_loader = lambda: DataLoader(ds, 4, collate, shuffle=True, seed=11)
+
+    trainer = Trainer(cfg, out_dir=str(tmp_path / "run"))
+    # interrupted run: stop mid-epoch at step 2 (finally-block checkpoints)
+    trainer.fit(fresh_loader(), None, max_steps=2)
+
+    # "process restart": new loader object, state restored from the checkpoint
+    state_b = trainer.init_or_restore_state()
+    assert int(np.asarray(state_b.step)) == 2
+    loader_b = fresh_loader()
+    state_b = trainer.fit(loader_b, None, max_steps=4, state=state_b)
+    assert loader_b._pos == 4  # resumed at batch 2, consumed batches 2..3
+
+    # oracle: uninterrupted 4-step run from scratch, same seeds
+    state_o = replicate_state(
+        init_train_state(cfg, trainer.generator, trainer.discriminator,
+                         jax.random.PRNGKey(cfg.seed)),
+        trainer.mesh,
+    )
+    state_o = trainer.fit(fresh_loader(), None, max_steps=4, state=state_o)
+
+    flat_b = jax.tree_util.tree_leaves(jax.device_get(state_b.g_params))
+    flat_o = jax.tree_util.tree_leaves(jax.device_get(state_o.g_params))
+    for a, b in zip(flat_b, flat_o):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
