@@ -59,6 +59,8 @@ class BackboneConfig:
     num_layers: int = 4
     drop_path: float = 0.2
     layer_scale_init_value: Optional[float] = None
+    # inference-only fused Pallas blocks (convnext kind; ignored off-TPU)
+    fused_pallas: bool = False
     # lightspeech
     kernel_sizes: Tuple[int, ...] = (5, 25, 13, 9)
     activation: str = "relu"

@@ -46,7 +46,7 @@ def make_backbone(cfg, dim, dtype, name, is_decoder=False):
         return ConvNeXtBackbone(
             dim=dim, intermediate_dim=cfg.intermediate_dim, num_layers=cfg.num_layers,
             drop_path=cfg.drop_path, layer_scale_init_value=cfg.layer_scale_init_value,
-            dtype=dtype, name=name,
+            fused_pallas=cfg.fused_pallas, dtype=dtype, name=name,
         )
     if cfg.kind == "lightspeech":
         cls = LightSpeechTransformerDecoder if is_decoder else LightSpeechTransformerEncoder

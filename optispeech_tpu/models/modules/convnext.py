@@ -41,11 +41,15 @@ class ConvNeXtBlock(nn.Module):
             # whole-block fused Pallas kernel (ops/pallas_convnext.py): the
             # (T, intermediate) MLP activation never leaves VMEM. Params were
             # created by the standard path at init; read them directly.
-            from ...ops.pallas_convnext import convnext_block_fused, pick_tile
+            from ...ops.pallas_convnext import (
+                convnext_block_fused,
+                fused_supported,
+                pick_tile,
+            )
 
             t_tile = pick_tile(x.shape[1])
             p = self.variables["params"]
-            if t_tile is not None and "gamma" in p:
+            if fused_supported() and t_tile is not None and "gamma" in p:
                 return convnext_block_fused(
                     x,
                     p["dwconv"]["kernel"][:, 0, :], p["dwconv"]["bias"],
@@ -86,6 +90,9 @@ class ConvNeXtBackbone(nn.Module):
     num_layers: int = 4
     drop_path: float = 0.0
     layer_scale_init_value: Optional[float] = None
+    # module-level fused default (e.g. the generator decoder, which is always
+    # called without a per-call flag); OR'd with the call-time `fused` arg
+    fused_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -93,7 +100,9 @@ class ConvNeXtBackbone(nn.Module):
                  fused: bool = False):
         """padding_mask: (B, T) bool, True on PAD positions (torch convention).
         `fused=True` routes each block through the whole-block Pallas kernel
-        (inference only — it has no drop-path and assumes deterministic)."""
+        (inference only — it has no drop-path and assumes deterministic; the
+        block itself falls back off-TPU or at non-tileable lengths)."""
+        fused = (fused or self.fused_pallas) and deterministic
         lsiv = self.layer_scale_init_value or 1.0 / self.num_layers
         if self.num_layers > 1:
             rates = [self.drop_path * i / (self.num_layers - 1) for i in range(self.num_layers)]
@@ -105,7 +114,7 @@ class ConvNeXtBackbone(nn.Module):
                 dim=self.dim, intermediate_dim=self.intermediate_dim,
                 drop_path_rate=dpr, layer_scale_init_value=lsiv,
                 dtype=self.dtype, name=f"block_{i}",
-            )(x, deterministic=deterministic, fused=fused and deterministic)
+            )(x, deterministic=deterministic, fused=fused)
             if keep is not None:
                 x = x * keep
         return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="final_layer_norm")(x)

@@ -55,7 +55,7 @@ class OptiSpeech:
 
         self._encode_jit = jax.jit(self._encode_fn)
         self._decode_jit = jax.jit(self._decode_fn, static_argnames=("n_frames",))
-        self._fixed_jit = jax.jit(self._fixed_fn, static_argnames=("n_frames",))
+        self._fixed_jit = jax.jit(self._fixed_fn, static_argnames=("n_frames", "pcm16"))
 
     # ------------------------------------------------------------------
     def init_params(self, rng):
@@ -89,18 +89,25 @@ class OptiSpeech:
         )
 
     def _fixed_fn(self, params, x, x_lengths, sids, lids, d_factor, p_factor,
-                  e_factor, n_frames):
-        return self.generator.apply(
+                  e_factor, n_frames, pcm16=False):
+        out = self.generator.apply(
             {"params": params}, x, x_lengths, sids, lids,
             d_factor, p_factor, e_factor, n_frames,
             method=OptiSpeechGenerator.synthesise_fixed,
         )
+        if pcm16:
+            # serve 16-bit PCM straight off the chip: halves the device->host
+            # bytes (wav is already clipped to [-1, 1] by the vocoder head)
+            out["wav_pcm16"] = jnp.round(out["wav"] * 32767.0).astype(jnp.int16)
+        return out
 
-    def synthesise_on_device(self, inputs: InferenceInputs, n_frames: int):
+    def synthesise_on_device(self, inputs: InferenceInputs, n_frames: int,
+                             pcm16: bool = False):
         """Single-graph synthesis with a static frame cap; returns DEVICE
         arrays without any host sync (callers fetch/stream as needed). This is
         the serving hot path; `synthesise` wraps the two-stage exact-bucket
-        variant with host-side numpy outputs."""
+        variant with host-side numpy outputs. `pcm16=True` adds a `wav_pcm16`
+        int16 output computed on device — the wire format for serving."""
         inputs = inputs.as_numpy()
         b, t_text = inputs.x.shape
         t_bucket = round_up_to_bucket(t_text, self.text_bucket)
@@ -111,7 +118,7 @@ class OptiSpeech:
         return self._fixed_jit(
             self.params, jnp.asarray(x), jnp.asarray(inputs.x_lengths.astype(np.int32)),
             sids, lids, jnp.float32(inputs.d_factor), jnp.float32(inputs.p_factor),
-            jnp.float32(inputs.e_factor), n_frames,
+            jnp.float32(inputs.e_factor), n_frames, pcm16,
         )
 
     # ------------------------------------------------------------------

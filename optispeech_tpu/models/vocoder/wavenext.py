@@ -54,11 +54,9 @@ class WaveNeXt(nn.Module):
     @nn.compact
     def __call__(self, x, f0=None, padding_mask=None, deterministic: bool = True):
         """x: (B, T, input_channels) frame features -> (B, T*hop) waveform."""
-        from ...ops.pallas_convnext import fused_supported
-
         x = nn.Conv(self.dim, (7,), padding=3, dtype=self.dtype, name="embed")(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        fused = self.fused_pallas and deterministic and fused_supported()
+        fused = self.fused_pallas and deterministic
         x = ConvNeXtBackbone(
             dim=self.dim, intermediate_dim=self.intermediate_dim,
             num_layers=self.num_layers, drop_path=self.drop_path,

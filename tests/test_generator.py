@@ -135,6 +135,14 @@ def test_synthesise_on_device_single_graph(rng):
     # different padded widths change XLA reduction order; ~4e-4 noise is expected
     np.testing.assert_allclose(wav_fixed[:, :n], wav_two[:, :n], atol=2e-3)
 
+    # serving wire format: on-device int16 PCM (half the D2H bytes)
+    out16 = api.synthesise_on_device(inputs, n_frames, pcm16=True)
+    pcm = np.asarray(out16["wav_pcm16"])
+    assert pcm.dtype == np.int16
+    np.testing.assert_array_equal(
+        pcm, np.round(np.asarray(out16["wav"]) * 32767.0).astype(np.int16)
+    )
+
 
 def test_multi_speaker_multi_lang(rng):
     gen_cfg = tiny_cfg(num_speakers=4, num_languages=2)

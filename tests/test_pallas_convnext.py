@@ -71,6 +71,7 @@ def test_backbone_fused_flag_matches_standard_path(rng, monkeypatch):
         return orig(*args, interpret=True, **kw)
 
     monkeypatch.setattr(pc, "convnext_block_fused", interp)
+    monkeypatch.setattr(pc, "fused_supported", lambda: True)  # CPU harness
 
     model = ConvNeXtBackbone(dim=64, intermediate_dim=128, num_layers=2)
     x = jnp.asarray(rng.normal(size=(2, 128, 64)).astype(np.float32))
