@@ -12,14 +12,16 @@ memory; one-hot multiply-reduce is VPU-friendly at T_text <= a few hundred).
 Returns the same (durations, per-item bin-loss numerator) contract as the scan
 version; numerically cross-checked against it in tests.
 
-STATUS: exact-match verified in Pallas interpret mode. The Mosaic TPU
-compiler on this jax version (0.9.0) cannot lower the dynamic
-single-sublane accesses the DP needs (`q_scr[pl.ds(j, 1), :]` at a traced
-frame index raises "Not implemented: Sublane broadcast"), so the compiled-TPU
-path is blocked upstream; production MAS remains ops/mas.py's lax.scan, which
-profiles at noise level inside the training step anyway (~0.8 ms at
-B=16, F=768). Revisit when Mosaic grows dynamic sublane slicing or restructure
-the DP to 8-row tiles.
+STATUS: COMPILES on Mosaic (and matches the scan exactly in both interpret
+and compiled mode). Mosaic on jax 0.9.0 cannot lower dynamic SINGLE-sublane
+accesses (`q_scr[pl.ds(j, 1), :]` at a traced frame index raises "Not
+implemented: Sublane broadcast"), so the DP is tiled into 8-frame sublane
+tiles: each fori_loop step loads/stores one (8, T_text) tile at a dynamic
+8-aligned offset (which Mosaic lowers fine) and the 8 per-frame updates
+inside the tile are statically unrolled. Requires T_feats % 8 == 0 (mel
+buckets are multiples of 128). Production training MAS remains ops/mas.py's
+lax.scan (its gather carries the bin-loss gradient); this kernel serves
+extract-durations workloads.
 """
 
 from functools import partial
@@ -31,56 +33,60 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG_NEG = -1e9
+TILE = 8  # sublane tile height: frames per dynamic scratch access
 
 
 def _mas_kernel(t_feats, t_text, tl_ref, fl_ref, lp_ref, ds_ref, binsum_ref, q_scr):
     bi = pl.program_id(0)
     tl = tl_ref[bi]  # scalar-prefetch arrays hold the whole batch in SMEM
     fl = fl_ref[bi]
-    # index lp through the ref (dynamic_slice on loaded values doesn't lower)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, t_text), 1)
+    n_tiles = t_feats // TILE
 
-    # ---- forward DP: Q[:, j] = max(Q[:, j-1], shift(Q[:, j-1])) + lp[j] ----
-    q0 = jnp.where(col == 0, lp_ref[0, 0:1, :], BIG_NEG)  # (1, T_text)
-    q_scr[pl.ds(0, 1), :] = q0
+    # ---- forward DP: Q[j] = max(Q[j-1], shift(Q[j-1])) + lp[j], 8-row tiles
+    def fwd_tile(t, q):
+        lp_tile = lp_ref[0, pl.ds(t * TILE, TILE), :]  # (TILE, T_text)
+        rows = []
+        for k in range(TILE):  # static unroll: all sublane indices constant
+            q_shift = pltpu.roll(q, 1, 1)
+            q_shift = jnp.where(col == 0, BIG_NEG, q_shift)
+            q_new = jnp.maximum(q, q_shift) + lp_tile[k : k + 1, :]
+            if k == 0:
+                # frame 0 (tile 0 only): path starts at token 0
+                q_init = jnp.where(col == 0, lp_tile[0:1, :], BIG_NEG)
+                q_new = jnp.where(t == 0, q_init, q_new)
+            rows.append(q_new)
+            q = q_new
+        q_scr[pl.ds(t * TILE, TILE), :] = jnp.concatenate(rows, axis=0)
+        return q
 
-    def fwd(j, q):
-        q_shift = pltpu.roll(q, 1, 1)
-        q_shift = jnp.where(col == 0, BIG_NEG, q_shift)
-        q_new = jnp.maximum(q, q_shift) + lp_ref[0, pl.ds(j, 1), :]
-        q_scr[pl.ds(j, 1), :] = q_new
-        return q_new
+    jax.lax.fori_loop(0, n_tiles, fwd_tile, jnp.full((1, t_text), BIG_NEG, jnp.float32))
 
-    jax.lax.fori_loop(1, t_feats, fwd, q0)
-
-    # ---- backtrace with one-hot state (gather-free) ------------------------
+    # ---- backtrace with one-hot state (gather-free), 8-row tiles -----------
     # a = current token index as a one-hot row; start at token tl-1 for the
     # last valid frame
     a0 = (col == tl - 1).astype(jnp.float32)
-
     ones_row = jnp.ones((1, t_text), jnp.float32)
+    pin_onehot = (col == tl - 1).astype(jnp.float32)
 
-    def bwd(i, carry):
+    def bwd_frame(j, q_prev, lp_row, carry):
+        """One backtrace step at frame j given Q[j-1] and lp[j]."""
         a, ds, binsum = carry
-        j = t_feats - 1 - i  # frame index, from the end
         # keep every predicate as a (1, t_text) f32 row: scalar->row sublane
         # broadcasts do not lower in Mosaic
         valid = (j < fl).astype(jnp.float32) * ones_row
         pin = (j == fl - 1).astype(jnp.float32) * ones_row
         # at the last valid frame the path is pinned to token tl-1
-        pin_onehot = (col == tl - 1).astype(jnp.float32)
         a = valid * (pin * pin_onehot + (1.0 - pin) * a) + (1.0 - valid) * a
 
         # accumulate this frame's duration + per-token bin-loss contribution
         # (host sums the bin row over tokens afterwards)
-        lp_row = lp_ref[0, pl.ds(j, 1), :]
         ds = ds + valid * a
         binsum = binsum + valid * a * lp_row
 
         # decide A[j-1] in {A[j]-1, A[j]} by comparing Q values at frame j-1
         # (reference alignments.py:195-207 with its Q[token, frame] layout)
-        q_prev = q_scr[pl.ds(jnp.maximum(j - 1, 0), 1), :]
         v_here = jnp.sum(a * q_prev, axis=1, keepdims=True)  # Q[j-1, A[j]]
         a_shift = pltpu.roll(a, t_text - 1, 1)  # one-hot of A[j]-1 (roll by -1)
         a_shift = jnp.where(col == t_text - 1, 0.0, a_shift)
@@ -92,9 +98,20 @@ def _mas_kernel(t_feats, t_text, tl_ref, fl_ref, lp_ref, ds_ref, binsum_ref, q_s
         a = step_ok * a_next + (1.0 - step_ok) * a
         return a, ds, binsum
 
+    def bwd_tile(i, carry):
+        t = n_tiles - 1 - i
+        q_tile = q_scr[pl.ds(t * TILE, TILE), :]
+        lp_tile = lp_ref[0, pl.ds(t * TILE, TILE), :]
+        # Q row for the frame just below this tile (tile 0: gated off by j>0)
+        q_below = q_scr[pl.ds(jnp.maximum(t - 1, 0) * TILE, TILE), :][TILE - 1 : TILE, :]
+        for k in reversed(range(TILE)):  # static unroll, frames high -> low
+            q_prev = q_tile[k - 1 : k, :] if k > 0 else q_below
+            carry = bwd_frame(t * TILE + k, q_prev, lp_tile[k : k + 1, :], carry)
+        return carry
+
     ds0 = jnp.zeros((1, t_text), jnp.float32)
     _, ds, binsum = jax.lax.fori_loop(
-        0, t_feats, bwd, (a0, ds0, jnp.zeros((1, t_text), jnp.float32))
+        0, n_tiles, bwd_tile, (a0, ds0, jnp.zeros((1, t_text), jnp.float32))
     )
     ds_ref[0] = ds
     binsum_ref[0] = binsum
@@ -108,6 +125,11 @@ def viterbi_decode_pallas(log_p_attn, text_lengths, feats_lengths, interpret: bo
     Returns (durations (B, T_text) f32 [stop-gradient], bin_loss scalar).
     """
     b, t_feats, t_text = log_p_attn.shape
+    if t_feats % TILE:  # pad to the 8-frame sublane tile (padded frames are
+        # masked invalid below, so results are unchanged)
+        pad = TILE - t_feats % TILE
+        log_p_attn = jnp.pad(log_p_attn, ((0, 0), (0, pad), (0, 0)))
+        t_feats += pad
     lp = log_p_attn.astype(jnp.float32)
     frame_valid = jnp.arange(t_feats)[None, :] < feats_lengths[:, None]
     token_valid = jnp.arange(t_text)[None, :] < text_lengths[:, None]

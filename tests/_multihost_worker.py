@@ -84,8 +84,17 @@ def main():
              if k in ("x", "wav", "mel", "x_lengths", "wav_lengths", "mel_lengths",
                       "energies", "pitches", "sids", "lids")}
     batch = shard_batch(batch, mesh)
+    # AOT-compile, then meet at a coordination-service barrier BEFORE the
+    # first execution: gloo's rendezvous has a ~30 s handshake timeout, and
+    # under load the two processes' multi-minute compiles can skew past it.
+    # Compiling first makes both sides reach the first collective together.
+    compiled = step_fn.lower(state, batch).compile()
+    if nproc > 1:
+        from jax._src import distributed
+
+        distributed.global_state.client.wait_at_barrier("compiled", 600_000)
     for _ in range(2):
-        state, logs = step_fn(state, batch)
+        state, logs = compiled(state, batch)
         losses.append(float(jax.device_get(logs["total_loss/generator"])))
 
     with open(out_json, "w") as f:
