@@ -25,6 +25,9 @@ def main(argv=None):
     p.add_argument("--speaker", default=None)
     p.add_argument("--no-split", action="store_true", help="do not split sentences")
     p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    p.add_argument("--fused", action="store_true",
+                   help="fused Pallas decoder/vocoder blocks (TPU only; "
+                        "~1.7x on-device, docs/evidence/synthesis_profile.md)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -35,6 +38,23 @@ def main(argv=None):
     model = OptiSpeech.load_from_checkpoint(
         args.checkpoint, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32
     )
+    if args.fused:
+        import dataclasses
+
+        from ..training.checkpoint import load_inference_checkpoint
+
+        cfg, params, meta = load_inference_checkpoint(args.checkpoint)
+        g = cfg.generator
+        cfg = dataclasses.replace(cfg, generator=dataclasses.replace(
+            g,
+            decoder=dataclasses.replace(g.decoder, fused_pallas=True),
+            vocoder=dataclasses.replace(g.vocoder, fused_pallas=True),
+        ))
+        model = OptiSpeech(
+            cfg, params=params,
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            speakers=meta.get("speakers") or [],
+        )
     speaker = args.speaker
     if speaker is not None and speaker.isdigit():
         speaker = int(speaker)

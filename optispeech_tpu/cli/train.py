@@ -10,6 +10,7 @@ Debug harnesses mirror the reference's configs/debug/ set: --fast-dev-run
 """
 
 import argparse
+import os
 
 from ..utils.pylogger import get_pylogger
 from ..utils.yamlcfg import load_experiment
@@ -25,12 +26,15 @@ def build_loaders(cfg, synthetic: bool, overfit: int, limit: float,
         # native mmapped arena + C++ batch assembly (production input path)
         from ..data.packed import PackedDataset, PackedLoader
 
+        import jax
+
         def mk(path, shuffle):
             ds = PackedDataset(path, cfg.data.statistics, f_min=cfg.generator.features.f_min)
             return PackedLoader(
                 ds, cfg.data.batch_size, cfg.data.text_bucket_size,
                 cfg.data.mel_bucket_size, shuffle=shuffle, seed=cfg.data.seed,
                 max_text_len=cfg.data.max_text_len, max_mel_len=cfg.data.max_mel_len,
+                shard_id=jax.process_index(), num_shards=jax.process_count(),
             )
 
         return mk(packed_train, True), (mk(packed_val, False) if packed_val else None)
@@ -99,9 +103,17 @@ def main(argv=None):
     p.add_argument("overrides", nargs="*", help="dotted config overrides key=value")
     args = p.parse_args(argv)
 
-    if args.distributed:
-        import jax
+    import jax
 
+    # persistent compile cache: the one-jit GAN step is a multi-minute XLA
+    # compile on TPU; cache it across runs (same default as bench.py)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.distributed:
         jax.distributed.initialize()
         log.info(
             f"Distributed: process {jax.process_index()}/{jax.process_count()}, "

@@ -108,7 +108,11 @@ class BucketedCollate:
         self.max_mel_len = max_mel_len
         self.do_normalize = do_normalize
 
-    def __call__(self, batch: list[dict]) -> dict:
+    def __call__(self, batch: list[dict], t_text: Optional[int] = None,
+                 t_mel: Optional[int] = None) -> dict:
+        """`t_text`/`t_mel` force the padded lengths (pre-bucket-rounding) —
+        multi-host shards must all pad to the GLOBAL batch's max so the
+        reassembled global array has one shape."""
         b = len(batch)
         for item in batch:  # clamp overly long utterances to the caps
             if self.max_text_len:
@@ -119,8 +123,14 @@ class BucketedCollate:
                 item["pitch"] = item["pitch"][: self.max_mel_len]
                 item["wav"] = item["wav"][: self.max_mel_len * self.hop_length]
 
-        t_text = round_up_to_bucket(max(i["x"].shape[-1] for i in batch), self.text_bucket)
-        t_mel = round_up_to_bucket(max(i["mel"].shape[-1] for i in batch), self.mel_bucket)
+        t_text = t_text or max(i["x"].shape[-1] for i in batch)
+        t_mel = t_mel or max(i["mel"].shape[-1] for i in batch)
+        if self.max_text_len:
+            t_text = min(t_text, self.max_text_len)
+        if self.max_mel_len:
+            t_mel = min(t_mel, self.max_mel_len)
+        t_text = round_up_to_bucket(t_text, self.text_bucket)
+        t_mel = round_up_to_bucket(t_mel, self.mel_bucket)
         t_wav = t_mel * self.hop_length
 
         x = np.zeros((b, t_text), np.int32)
@@ -234,15 +244,24 @@ class DataLoader:
                     batches.append(bat)
         if self.shuffle:
             rnd.shuffle(batches)
-        if self.num_shards > 1:
-            local = self.batch_size // self.num_shards
-            lo = self.shard_id * local
-            batches = [bat[lo : lo + local] for bat in batches]
-        return batches
+        return batches  # GLOBAL batches; sharding slices at iteration time
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _collate_shard(self, bat: list[int]) -> dict:
+        """Collate this process's slice of the GLOBAL batch `bat`, padded to
+        the global batch's max lengths so every shard produces the same
+        static shape (required for jax.make_array_from_process_local_data)."""
+        if self.num_shards == 1:
+            return self.collate([self.dataset[i] for i in bat])
+        items = [self.dataset[i] for i in bat]
+        t_text = max(it["x"].shape[-1] for it in items)
+        t_mel = max(it["mel"].shape[-1] for it in items)
+        local = self.batch_size // self.num_shards
+        lo = self.shard_id * local
+        return self.collate(items[lo : lo + local], t_text=t_text, t_mel=t_mel)
 
     def __iter__(self) -> Iterator[dict]:
         batches = self._batch_indices()[self._pos :]
@@ -251,7 +270,7 @@ class DataLoader:
 
         def worker():
             for bat in batches:
-                q.put(self.collate([self.dataset[i] for i in bat]))
+                q.put(self._collate_shard(bat))
             q.put(stop)
 
         t = threading.Thread(target=worker, daemon=True)

@@ -182,15 +182,20 @@ class PackedDataset:
             self.handle = None
 
     def assemble(self, indices: np.ndarray, text_bucket: int, mel_bucket: int,
-                 max_text_len: Optional[int] = None, max_mel_len: Optional[int] = None) -> dict:
+                 max_text_len: Optional[int] = None, max_mel_len: Optional[int] = None,
+                 t_text: Optional[int] = None, t_mel: Optional[int] = None) -> dict:
+        """`t_text`/`t_mel` force the padded lengths (pre-rounding) — used by
+        multi-host shards so every process pads to the global batch's max."""
         indices = np.ascontiguousarray(indices, np.int64)
         n = len(indices)
-        t_text = round_up_to_bucket(int(self.text_lens[indices].max()), text_bucket)
-        t_mel = round_up_to_bucket(int(self.mel_lens[indices].max()), mel_bucket)
+        t_text = t_text or int(self.text_lens[indices].max())
+        t_mel = t_mel or int(self.mel_lens[indices].max())
         if max_text_len:
             t_text = min(t_text, max_text_len)
         if max_mel_len:
             t_mel = min(t_mel, max_mel_len)
+        t_text = round_up_to_bucket(t_text, text_bucket)
+        t_mel = round_up_to_bucket(t_mel, mel_bucket)
         t_wav = t_mel * self.hop_length
 
         x = np.empty((n, t_text), np.int32)
@@ -221,12 +226,24 @@ class PackedDataset:
 
 
 class PackedLoader:
-    """Length-grouped shuffled loader over a PackedDataset."""
+    """Length-grouped shuffled loader over a PackedDataset.
+
+    Same multi-host and resume contract as datamodule.DataLoader: every
+    process computes the identical global batch order and assembles only its
+    `batch_size/num_shards` slice — padded to the GLOBAL batch's max lengths
+    (cheap here: the length tables are cached) — and `state_dict()` captures
+    (epoch, position) for step-deterministic resume."""
 
     def __init__(self, dataset: PackedDataset, batch_size: int, text_bucket: int,
                  mel_bucket: int, shuffle: bool = True, seed: int = 0,
                  drop_last: bool = True, length_group_size: int = 8,
-                 max_text_len: Optional[int] = None, max_mel_len: Optional[int] = None):
+                 max_text_len: Optional[int] = None, max_mel_len: Optional[int] = None,
+                 shard_id: int = 0, num_shards: int = 1):
+        if batch_size % num_shards:
+            raise ValueError(
+                f"global batch_size {batch_size} must be divisible by "
+                f"num_shards {num_shards}"
+            )
         self.ds = dataset
         self.batch_size = batch_size
         self.text_bucket = text_bucket
@@ -237,15 +254,25 @@ class PackedLoader:
         self.length_group_size = length_group_size
         self.max_text_len = max_text_len
         self.max_mel_len = max_mel_len
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self.epoch = 0
+        self._pos = 0
+
+    def state_dict(self) -> dict:
+        return {"epoch": self.epoch, "pos": self._pos, "seed": self.seed}
+
+    def load_state_dict(self, state: dict):
+        self.epoch = int(state["epoch"])
+        self._pos = int(state["pos"])
+        self.seed = int(state.get("seed", self.seed))
 
     def __len__(self):
         n = len(self.ds)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def __iter__(self):
+    def _batch_indices(self):
         rng = np.random.default_rng(self.seed + self.epoch)
-        self.epoch += 1
         idx = np.arange(len(self.ds))
         if self.shuffle:
             rng.shuffle(idx)
@@ -260,6 +287,19 @@ class PackedLoader:
                     batches.append(bat)
         if self.shuffle:
             rng.shuffle(batches)
-        for bat in batches:
+        return batches  # GLOBAL batches
+
+    def __iter__(self):
+        for bat in self._batch_indices()[self._pos :]:
+            t_text = t_mel = None
+            if self.num_shards > 1:
+                t_text = int(self.ds.text_lens[bat].max())
+                t_mel = int(self.ds.mel_lens[bat].max())
+                local = self.batch_size // self.num_shards
+                bat = bat[self.shard_id * local : (self.shard_id + 1) * local]
+            self._pos += 1
             yield self.ds.assemble(bat, self.text_bucket, self.mel_bucket,
-                                   self.max_text_len, self.max_mel_len)
+                                   self.max_text_len, self.max_mel_len,
+                                   t_text=t_text, t_mel=t_mel)
+        self.epoch += 1
+        self._pos = 0

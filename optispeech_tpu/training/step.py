@@ -27,7 +27,12 @@ from ..ops.segments import get_segments
 from .state import TrainState, make_optimizer
 
 
-def make_train_step(cfg: ExperimentConfig, generator, discriminator, optimizer=None):
+def make_train_step(cfg: ExperimentConfig, generator, discriminator, optimizer=None,
+                    donate: bool = False):
+    """`donate=True` donates the TrainState buffers to the jit (params + both
+    optimizer states update in place, halving their HBM footprint during the
+    step). The caller must not reuse the old state afterwards — the Trainer
+    doesn't; unit tests that diff old vs new params keep donate=False."""
     opt = optimizer or make_optimizer(cfg)
     hop = cfg.generator.features.hop_length
     segment_size = cfg.generator.segment_size
@@ -79,7 +84,7 @@ def make_train_step(cfg: ExperimentConfig, generator, discriminator, optimizer=N
         }
         return loss, aux
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch: dict):
         rng, g_rng = jax.random.split(state.rng)
         train_disc = state.step >= pretraining_steps

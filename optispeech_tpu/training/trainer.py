@@ -102,7 +102,8 @@ class Trainer:
         self.generator = OptiSpeechGenerator(cfg.generator, dtype=compute_dtype)
         self.discriminator = VocosDiscriminator(cfg.discriminator, cfg.generator.features)
         self.mesh = mesh if mesh is not None else make_mesh(cfg.num_devices)
-        self.train_step = make_train_step(cfg, self.generator, self.discriminator)
+        self.train_step = make_train_step(cfg, self.generator, self.discriminator,
+                                          donate=True)
         self.val_step = make_val_step(cfg, self.generator, self.discriminator)
         # multi-host: only process 0 writes metrics/checkpoints (state is
         # replicated, so its device_get is identical on every process)
@@ -136,6 +137,13 @@ class Trainer:
             if restored is not None:
                 log.info(f"Restored training state from step {step}")
                 state = restored
+        # hyperparameter/model-size observability (reference
+        # utils/logging_utils.py:12 log_hyperparameters role)
+        n_g = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(state.g_params))
+        n_d = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(state.d_params))
+        log.info(f"Generator params: {n_g / 1e6:.2f} M, discriminator params: {n_d / 1e6:.2f} M")
+        if self.is_main:
+            self.metrics.log(0, {"model/params_g": n_g, "model/params_d": n_d})
         return replicate_state(state, self.mesh)
 
     def fit(

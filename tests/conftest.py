@@ -13,7 +13,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 # belt-and-braces: works as long as no backend has been initialized yet
+# (and REQUIRED here — the image's sitecustomize force-sets
+# jax_platforms="axon,cpu" via jax.config in every interpreter, which
+# overrides the JAX_PLATFORMS env var)
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: the GAN train-step tests are multi-minute XLA:CPU
+# compiles; cache them across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import numpy as np
 import pytest

@@ -102,18 +102,20 @@ def test_dataloader_iterates_and_groups():
 
 def test_dataloader_shards_partition_each_global_batch():
     """Per-host sharding (multi-host DP): every shard sees the same global
-    batch order and takes a disjoint batch_size/num_shards slice, so
-    shard_batch reassembles exactly the single-host global batch."""
+    batch order, takes a disjoint batch_size/num_shards slice, and pads to
+    the GLOBAL batch max — so concatenating the shards' arrays reproduces the
+    single-host global batch exactly even with heterogeneous lengths."""
     ds = SyntheticDataset(n_items=32, n_feats=20, hop_length=64)
     collate = BucketedCollate(n_feats=20, statistics=DataStatistics(), hop_length=64,
                               text_bucket=16, mel_bucket=64)
     mk = lambda sid, n: DataLoader(ds, batch_size=4, collate=collate, shuffle=True,
                                    seed=0, shard_id=sid, num_shards=n)
-    global_batches = mk(0, 1)._batch_indices()
-    s0, s1 = mk(0, 2)._batch_indices(), mk(1, 2)._batch_indices()
-    for g, a, b in zip(global_batches, s0, s1):
-        assert a + b == g  # concatenated shards == the global batch, in order
-        assert len(a) == len(b) == 2
+    for g, a, b in zip(iter(mk(0, 1)), iter(mk(0, 2)), iter(mk(1, 2))):
+        for key in ("x", "wav", "mel", "pitches", "x_lengths", "mel_lengths"):
+            assert a[key].shape == b[key].shape, key
+            np.testing.assert_array_equal(
+                np.concatenate([a[key], b[key]], axis=0), g[key], err_msg=key
+            )
 
 
 def test_dataloader_state_dict_resumes_mid_epoch():

@@ -73,3 +73,34 @@ def test_packed_loader_iterates(tmp_path, rng):
         assert b["x"].shape[0] == 4
         assert b["mel"].shape[2] % 32 == 0
         assert np.isfinite(b["mel"]).all()
+
+
+@needs_native
+def test_packed_loader_shards_and_resumes(tmp_path, rng):
+    """Multi-host + resume contract of the native loader mirrors DataLoader:
+    shard slices concatenate to the exact global batch (global-max padding),
+    and state_dict round-trips to the same remaining batches."""
+    filelist = _write_reference_format(tmp_path, rng, n=16)
+    pak = pack_dataset(str(filelist), str(tmp_path / "s.pak"), n_feats=20, hop_length=64)
+    ds = PackedDataset(pak, DataStatistics())
+    mk = lambda sid, n: PackedLoader(ds, batch_size=4, text_bucket=16, mel_bucket=32,
+                                     shuffle=True, seed=5, shard_id=sid, num_shards=n)
+    for g, a, b in zip(iter(mk(0, 1)), iter(mk(0, 2)), iter(mk(1, 2))):
+        for key in ("x", "wav", "mel", "pitches", "x_lengths", "mel_lengths"):
+            assert a[key].shape == b[key].shape, key
+            np.testing.assert_array_equal(
+                np.concatenate([a[key], b[key]], axis=0), g[key], err_msg=key
+            )
+
+    loader = mk(0, 1)
+    it = iter(loader)
+    next(it), next(it)
+    saved = loader.state_dict()
+    assert saved["pos"] == 2
+    resumed = mk(0, 1)
+    resumed.load_state_dict(saved)
+    rest = list(resumed)
+    full = list(mk(0, 1))
+    assert len(rest) == len(full) - 2
+    np.testing.assert_array_equal(rest[0]["x"], full[2]["x"])
+    assert resumed.state_dict() == {"epoch": 1, "pos": 0, "seed": 5}
