@@ -196,6 +196,9 @@ class TrainArgs:
     evaluate_utmos: bool = False
     evaluate_pesq: bool = False
     evaluate_mcd: bool = False
+    # self-contained numpy STOI (training/metrics.py) — always available,
+    # unlike the import-gated pesq/utmos external deps
+    evaluate_stoi: bool = False
     # full-utterance synthesis eval: how many val utterances go through the
     # real inference path per validation (reference on_validation_end runs 2;
     # perceptual metrics here cover up to this many full wavs, not GAN segments)

@@ -103,6 +103,77 @@ def utmos_score(wavs_16khz, model_path: str | None = None):
     return scores
 
 
+def stoi_score(ref_wavs_16khz, gen_wavs_16khz):
+    """Short-Time Objective Intelligibility (Taal et al. 2011), batch mean.
+
+    Self-contained numpy implementation — unlike PESQ/UTMOS (C-ext / torch
+    model, import-gated above) this objective speech-quality metric is always
+    available, filling the role of the reference's optional perceptual val
+    gates (base_lightning_module.py:216-245) without external deps.
+    Inputs must be 16 kHz. Returns mean STOI in [~0, 1]."""
+    return float(np.mean([
+        _stoi_single(np.asarray(r, np.float64), np.asarray(g, np.float64))
+        for r, g in zip(ref_wavs_16khz, gen_wavs_16khz)
+    ]))
+
+
+def _stoi_octave_bands(sr=10000, n_fft=512, n_bands=15, f_start=150.0):
+    """One-third-octave band matrix over rfft bins (Taal et al. Table I)."""
+    f = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    cf = f_start * 2.0 ** (np.arange(n_bands) / 3.0)
+    lo, hi = cf * 2 ** (-1 / 6), cf * 2 ** (1 / 6)
+    bands = np.zeros((n_bands, len(f)))
+    for i in range(n_bands):
+        bands[i, (f >= lo[i]) & (f < hi[i])] = 1.0
+    return bands
+
+
+def _stoi_single(ref, gen, frame=256, n_fft=512, n_frames_seg=30, beta_db=-15.0):
+    # resample 16 kHz -> 10 kHz (the STOI reference rate)
+    from scipy.signal import resample_poly
+
+    x = resample_poly(ref, 5, 8)
+    y = resample_poly(gen, 5, 8)
+    n = min(len(x), len(y))
+    x, y = x[:n], y[:n]
+    hop = frame // 2
+    win = np.hanning(frame + 2)[1:-1]
+
+    def frames(sig):
+        m = 1 + max(0, (len(sig) - frame) // hop)
+        idx = np.arange(frame)[None, :] + hop * np.arange(m)[:, None]
+        return sig[idx] * win
+
+    fx, fy = frames(x), frames(y)
+    # silent-frame removal by ref energy (40 dB below loudest frame)
+    e = 20 * np.log10(np.linalg.norm(fx, axis=1) + 1e-12)
+    keep = e > e.max() - 40.0
+    fx, fy = fx[keep], fy[keep]
+    if len(fx) < n_frames_seg:
+        return 1e-5
+    X = np.abs(np.fft.rfft(fx, n_fft, axis=1))
+    Y = np.abs(np.fft.rfft(fy, n_fft, axis=1))
+    bands = _stoi_octave_bands(n_fft=n_fft)
+    # (T, J) band envelopes
+    Xb = np.sqrt((X[:, None, :] ** 2 * bands[None]).sum(-1)).T
+    Yb = np.sqrt((Y[:, None, :] ** 2 * bands[None]).sum(-1)).T
+    J, T = Xb.shape
+    N = n_frames_seg
+    d = []
+    for m in range(N, T + 1):
+        xs, ys = Xb[:, m - N : m], Yb[:, m - N : m]
+        # scale + clip the degraded segment (eq. 3-4)
+        alpha = np.sqrt((xs**2).sum(1, keepdims=True) / ((ys**2).sum(1, keepdims=True) + 1e-12))
+        ys_c = np.minimum(ys * alpha, xs * (1 + 10 ** (-beta_db / 20)))
+        xm = xs - xs.mean(1, keepdims=True)
+        ym = ys_c - ys_c.mean(1, keepdims=True)
+        corr = (xm * ym).sum(1) / (
+            np.linalg.norm(xm, axis=1) * np.linalg.norm(ym, axis=1) + 1e-12
+        )
+        d.append(corr.mean())
+    return float(np.mean(d))
+
+
 def pesq_score(ref_wavs_16khz, gen_wavs_16khz):
     """Optional PESQ (reference base_lightning_module.py:234-242)."""
     try:

@@ -234,7 +234,7 @@ class Trainer:
         # base_lightning_module.py:216-286)
         want_synth = single_host and (
             ta.evaluate_periodicity or ta.evaluate_pesq or ta.evaluate_mcd
-            or ta.evaluate_utmos or self.metrics.tb is not None
+            or ta.evaluate_utmos or ta.evaluate_stoi or self.metrics.tb is not None
         )
         synth_batches: list = []
         n_collected = 0
@@ -277,6 +277,16 @@ class Trainer:
 
                 mcds = [mel_cepstral_distortion(gt, gen, sr) for gt, gen in wav_pairs]
                 agg["val/mcd"] = float(np.mean(mcds)) * n
+            if ta.evaluate_stoi:
+                from .metrics import stoi_score
+
+                trimmed = [
+                    (r[: min(len(r), len(g))], g[: min(len(r), len(g))])
+                    for r, g in zip(refs16, gens16)
+                ]
+                agg["val/stoi"] = stoi_score(
+                    [r for r, _ in trimmed], [g for _, g in trimmed]
+                ) * n
             if ta.evaluate_pesq:
                 from .metrics import pesq_score
 

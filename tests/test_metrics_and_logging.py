@@ -32,6 +32,51 @@ def test_metric_logger_wandb_gated(tmp_path):
     ml.close()
 
 
+def _speechlike(n=32000, sr=16000, f0=120.0, seed=0):
+    """Harmonic pulse train with slow amplitude modulation — enough structure
+    for STOI/periodicity to treat it as voiced speech."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    sig = sum(np.sin(2 * np.pi * f0 * k * t) / k for k in range(1, 6))
+    env = 0.6 + 0.4 * np.sin(2 * np.pi * 2.5 * t)
+    return (sig * env + 0.01 * rng.standard_normal(n)).astype(np.float32)
+
+
+def test_stoi_identical_is_one_and_noise_is_low():
+    from optispeech_tpu.training.metrics import stoi_score
+
+    wav = _speechlike()
+    noise = np.random.default_rng(1).standard_normal(len(wav)).astype(np.float32)
+    same = stoi_score([wav], [wav])
+    assert same == pytest.approx(1.0, abs=1e-6)
+    degraded = stoi_score([wav], [wav + 0.5 * noise])
+    different = stoi_score([wav], [noise])
+    assert different < degraded < same
+    assert different < 0.35
+
+
+def test_periodicity_metrics_identical_perfect():
+    from optispeech_tpu.training.metrics import periodicity_metrics
+
+    wav = _speechlike()
+    perio, pitch_rmse, f1 = periodicity_metrics([wav], [wav])
+    assert perio == 0.0 and pitch_rmse == 0.0
+    assert f1 == pytest.approx(1.0)
+    # octave-shifted pitch: voicing still agrees, log-F0 RMSE ~ 1 octave
+    wav2 = _speechlike(f0=240.0)
+    _, rmse2, _ = periodicity_metrics([wav], [wav2])
+    assert rmse2 == pytest.approx(1.0, abs=0.25)
+
+
+def test_mcd_zero_for_identical_positive_otherwise():
+    from optispeech_tpu.training.metrics import mel_cepstral_distortion
+
+    wav = _speechlike(sr=24000)
+    assert mel_cepstral_distortion(wav, wav, 24000) == pytest.approx(0.0, abs=1e-6)
+    noise = np.random.default_rng(2).standard_normal(len(wav)).astype(np.float32)
+    assert mel_cepstral_distortion(wav, noise, 24000) > 3.0
+
+
 def test_utmos_score_raises_without_model(monkeypatch):
     monkeypatch.delenv("OPTISPEECH_UTMOS_JIT", raising=False)
     with pytest.raises(ImportError, match="OPTISPEECH_UTMOS_JIT"):
