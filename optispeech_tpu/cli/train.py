@@ -100,6 +100,8 @@ def main(argv=None):
                    help="multi-host run: jax.distributed.initialize() from the "
                         "cluster env (TPU pod / COORDINATOR_ADDRESS), per-host "
                         "data sharding (reference configs/trainer/ddp.yaml role)")
+    p.add_argument("--no-print-config", action="store_true",
+                   help="skip the effective-config tree at startup")
     p.add_argument("overrides", nargs="*", help="dotted config overrides key=value")
     args = p.parse_args(argv)
 
@@ -137,6 +139,16 @@ def main(argv=None):
             cfg = finalize(merge_overrides(cfg, {"data.num_speakers": n}))
             log.info(f"Detected {n} speakers from {sid_map}")
     out_dir = args.out_dir or f"runs/{cfg.run_name}"
+
+    # effective-config tree at startup (reference utils/rich_utils.py:18
+    # print_config_tree role; plain YAML here — no rich dependency)
+    if not args.no_print_config:
+        import yaml as _yaml
+
+        from ..config import to_dict
+
+        log.info("Effective config:\n" + _yaml.safe_dump(
+            to_dict(cfg), sort_keys=False, default_flow_style=False))
 
     from ..training.trainer import Trainer
 
