@@ -1,0 +1,329 @@
+"""HTTP serving runtime with request micro-batching.
+
+No reference analogue (the reference's only server is the gradio demo,
+/root/reference/scripts/gradio_ui.py) — this is the production serving path
+the TPU design targets: concurrent HTTP requests are coalesced into one
+batched `synthesise` call (the bucketed two-stage jit path, where batch-32
+throughput is ~4000x higher than per-request dispatch on a v5e chip; see
+bench.py / docs/evidence/synthesis_profile.md), then split back per request.
+
+Endpoints:
+    GET  /health             -> {"status": "ok", ...counters}
+    GET  /info               -> model metadata (sample rate, speakers, ...)
+    POST /synthesise         JSON body:
+        {"text": "...", "speaker": null, "language": null,
+         "d_factor": null, "p_factor": null, "e_factor": null,
+         "format": "wav" | "pcm16" | "json"}
+      -> audio/wav bytes (WAV), raw int16 PCM (+ X-Sample-Rate header), or
+         JSON {"sample_rate", "pcm16_b64", "latency_ms"}.
+
+Batching contract: d/p/e factors are whole-batch scalars in the compiled
+graph, so only requests with identical (d, p, e) coalesce; speaker/language
+ids are per-row and batch freely. One batcher thread owns all device calls.
+
+Usage:
+    optispeech-tpu-serve CHECKPOINT_OR_ARTIFACT [--host 0.0.0.0 --port 8000]
+        [--max-batch 32 --batch-wait-ms 20] [--bf16]
+"""
+
+import argparse
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from ..utils.pylogger import get_pylogger
+
+log = get_pylogger(__name__)
+
+
+def load_model(path: str, bf16: bool = False):
+    """Accepts either a live inference checkpoint (config.json) or an
+    exported StableHLO artifact (metadata.json)."""
+    import os
+
+    if os.path.exists(os.path.join(path, "metadata.json")):
+        from ..export.exporter import ExportedOptiSpeech
+
+        return ExportedOptiSpeech(path)
+    import jax.numpy as jnp
+
+    from ..models.optispeech import OptiSpeech
+
+    return OptiSpeech.load_from_checkpoint(
+        path, compute_dtype=jnp.bfloat16 if bf16 else jnp.float32
+    )
+
+
+class _Pending:
+    __slots__ = ("inputs", "event", "wav", "sample_rate", "latency_ms", "error")
+
+    def __init__(self, inputs):
+        self.inputs = inputs  # InferenceInputs (rows = sentences)
+        self.event = threading.Event()
+        self.wav = None
+        self.sample_rate = None
+        self.latency_ms = None
+        self.error = None
+
+
+class Batcher:
+    """Single owner of the device: coalesces pending requests into batched
+    synthesise calls. Requests sharing (d, p, e) merge into one batch of up
+    to `max_batch` sentence rows; a new arrival waits at most `wait_ms` for
+    co-batchees once the batcher is idle."""
+
+    def __init__(self, model, max_batch: int = 32, wait_ms: float = 20.0):
+        self.model = model
+        self.max_batch = max_batch
+        self.wait_ms = wait_ms
+        self.q: "queue.Queue[_Pending]" = queue.Queue()
+        self.requests_served = 0
+        self.batches_run = 0
+        self.rows_synthesised = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, pending: _Pending):
+        self.q.put(pending)
+
+    # -- internals ------------------------------------------------------
+    @staticmethod
+    def _factor_key(inp):
+        return (round(float(inp.d_factor), 4), round(float(inp.p_factor), 4),
+                round(float(inp.e_factor), 4))
+
+    def _drain_compatible(self, first: _Pending):
+        """Collect requests with `first`'s factor key up to max_batch rows;
+        incompatible ones go back on the queue (preserving arrival order is
+        not required — each request is independent)."""
+        group = [first]
+        rows = first.inputs.x.shape[0]
+        key = self._factor_key(first.inputs)
+        deadline = time.perf_counter() + self.wait_ms / 1e3
+        requeue = []
+        while rows < self.max_batch:
+            timeout = deadline - time.perf_counter()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self.q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            n = nxt.inputs.x.shape[0]
+            if self._factor_key(nxt.inputs) == key and rows + n <= self.max_batch:
+                group.append(nxt)
+                rows += n
+            else:
+                requeue.append(nxt)
+        for r in requeue:
+            self.q.put(r)
+        return group
+
+    def _merge(self, group):
+        """Concatenate the requests' sentence rows into one InferenceInputs."""
+        from ..values import InferenceInputs
+
+        t = max(p.inputs.x.shape[1] for p in group)
+        x = np.concatenate([
+            np.pad(p.inputs.x, ((0, 0), (0, t - p.inputs.x.shape[1])))
+            for p in group
+        ])
+        x_lengths = np.concatenate([p.inputs.x_lengths for p in group])
+        has_sids = group[0].inputs.sids is not None
+        has_lids = group[0].inputs.lids is not None
+        sids = np.concatenate(
+            [np.asarray(p.inputs.sids) for p in group]) if has_sids else None
+        lids = np.concatenate(
+            [np.asarray(p.inputs.lids) for p in group]) if has_lids else None
+        f = group[0].inputs
+        return InferenceInputs(
+            x=x, x_lengths=x_lengths, sids=sids, lids=lids,
+            d_factor=f.d_factor, p_factor=f.p_factor, e_factor=f.e_factor,
+            clean_text=" | ".join(str(p.inputs.clean_text) for p in group),
+        )
+
+    def _loop(self):
+        while True:
+            first = self.q.get()
+            group = self._drain_compatible(first)
+            try:
+                merged = self._merge(group)
+                out = self.model.synthesise(merged)
+                wavs = out.unbatched_wavs()
+                i = 0
+                for p in group:
+                    n = p.inputs.x.shape[0]
+                    p.wav = np.concatenate(
+                        [np.asarray(w).squeeze() for w in wavs[i : i + n]])
+                    p.sample_rate = self.model.sample_rate
+                    p.latency_ms = float(out.latency)
+                    i += n
+                self.batches_run += 1
+                self.rows_synthesised += merged.x.shape[0]
+                self.requests_served += len(group)
+            except Exception as e:  # surface per-request, keep serving
+                log.exception("batch failed")
+                for p in group:
+                    p.error = str(e)
+            finally:
+                for p in group:
+                    p.event.set()
+
+
+def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    wav = np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
+    wavfile.write(buf, sr, (wav * 32767.0).astype(np.int16))
+    return buf.getvalue()
+
+
+def make_handler(model, batcher: Batcher, timeout_s: float = 120.0):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through our logger
+            log.debug("%s " + fmt, self.address_string(), *args)
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {
+                    "status": "ok",
+                    "requests_served": batcher.requests_served,
+                    "batches_run": batcher.batches_run,
+                    "rows_synthesised": batcher.rows_synthesised,
+                })
+            elif self.path == "/info":
+                self._json(200, {
+                    "sample_rate": model.sample_rate,
+                    "speakers": getattr(model, "speakers", None) or [],
+                    "num_speakers": getattr(model, "num_speakers", 1),
+                    "languages": list(getattr(model.text_processor, "languages", [])),
+                    "max_batch": batcher.max_batch,
+                    "batch_wait_ms": batcher.wait_ms,
+                })
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path not in ("/synthesise", "/synthesize"):
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                text = req.get("text", "").strip()
+                if not text:
+                    self._json(400, {"error": "missing `text`"})
+                    return
+                inputs = model.prepare_input(
+                    text,
+                    **({"speaker": req.get("speaker")}
+                       if getattr(model, "num_speakers", 1) > 1 else {}),
+                    **_lang_kw(model, req.get("language")),
+                    d_factor=req.get("d_factor"),
+                    p_factor=req.get("p_factor"),
+                    e_factor=req.get("e_factor"),
+                    split_sentences=True,
+                )
+            except (ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            except Exception as e:  # e.g. tokenizer backend missing
+                log.exception("prepare_input failed")
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+
+            pending = _Pending(inputs.as_numpy())
+            batcher.submit(pending)
+            if not pending.event.wait(timeout_s):
+                self._json(503, {"error": "synthesis timed out"})
+                return
+            if pending.error is not None:
+                self._json(500, {"error": pending.error})
+                return
+
+            fmt = req.get("format", "wav")
+            pcm = (np.clip(pending.wav, -1, 1) * 32767.0).astype("<i2")
+            if fmt == "json":
+                self._json(200, {
+                    "sample_rate": pending.sample_rate,
+                    "pcm16_b64": base64.b64encode(pcm.tobytes()).decode(),
+                    "latency_ms": pending.latency_ms,
+                })
+            elif fmt == "pcm16":
+                body = pcm.tobytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("X-Sample-Rate", str(pending.sample_rate))
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                body = _wav_bytes(pending.wav, pending.sample_rate)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+    return Handler
+
+
+def _lang_kw(model, language):
+    """OptiSpeech uses `language=`, ExportedOptiSpeech uses `lang=`."""
+    if language is None:
+        return {}
+    import inspect
+
+    params = inspect.signature(model.prepare_input).parameters
+    return {"language" if "language" in params else "lang": language}
+
+
+def serve(model, host: str = "0.0.0.0", port: int = 8000,
+          max_batch: int = 32, batch_wait_ms: float = 20.0):
+    batcher = Batcher(model, max_batch=max_batch, wait_ms=batch_wait_ms)
+    httpd = ThreadingHTTPServer((host, port), make_handler(model, batcher))
+    httpd.batcher = batcher  # exposed for tests/metrics
+    return httpd
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="OptiSpeech-TPU batching HTTP server")
+    p.add_argument("model", help="inference checkpoint dir or exported artifact dir")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=32,
+                   help="max sentence rows per device batch")
+    p.add_argument("--batch-wait-ms", type=float, default=20.0,
+                   help="how long an idle batch waits for co-batchees")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    args = p.parse_args(argv)
+
+    model = load_model(args.model, bf16=args.bf16)
+    httpd = serve(model, args.host, args.port, args.max_batch, args.batch_wait_ms)
+    log.info(f"Serving on http://{args.host}:{args.port} "
+             f"(max_batch={args.max_batch}, wait={args.batch_wait_ms} ms)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()

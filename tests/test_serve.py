@@ -1,0 +1,123 @@
+"""Batching HTTP server (cli/serve.py): endpoints, formats, micro-batching."""
+
+import base64
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from optispeech_tpu.cli.serve import serve
+from optispeech_tpu.config import DataConfig, ExperimentConfig, TextProcessorConfig
+from optispeech_tpu.models.optispeech import OptiSpeech
+
+from test_generator import tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = ExperimentConfig(
+        generator=tiny_cfg(),
+        data=DataConfig(
+            text_bucket_size=16, mel_bucket_size=32,
+            text_processor=TextProcessorConfig(tokenizer="char"),
+        ),
+    )
+    model = OptiSpeech(cfg, seed=0)
+    httpd = serve(model, host="127.0.0.1", port=0, max_batch=8, batch_wait_ms=300.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    # warm the jit caches so the concurrency test's window isn't dominated
+    # by first-call compiles
+    _post(base, {"text": "hello there", "format": "json"})
+    yield base, httpd
+    httpd.shutdown()
+
+
+def _post(base, payload, path="/synthesise"):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, dict(resp.headers), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
+
+
+def test_health_and_info(server):
+    base, _ = server
+    with urllib.request.urlopen(base + "/health", timeout=30) as r:
+        health = json.load(r)
+    assert health["status"] == "ok"
+    with urllib.request.urlopen(base + "/info", timeout=30) as r:
+        info = json.load(r)
+    assert info["sample_rate"] > 0
+    assert info["max_batch"] == 8
+
+
+def test_synthesise_json_and_wav_and_pcm(server):
+    base, _ = server
+    code, _, body = _post(base, {"text": "hello there", "format": "json"})
+    assert code == 200
+    obj = json.loads(body)
+    pcm = np.frombuffer(base64.b64decode(obj["pcm16_b64"]), "<i2")
+    assert len(pcm) > 0 and obj["sample_rate"] > 0
+
+    code, headers, body = _post(base, {"text": "hello there"})
+    assert code == 200
+    assert headers["Content-Type"] == "audio/wav"
+    assert body[:4] == b"RIFF"
+
+    code, headers, body = _post(base, {"text": "hello there", "format": "pcm16"})
+    assert code == 200
+    assert int(headers["X-Sample-Rate"]) == obj["sample_rate"]
+    # same text, same deterministic model -> identical PCM as the json route
+    np.testing.assert_array_equal(np.frombuffer(body, "<i2"), pcm)
+
+
+def test_missing_text_is_400(server):
+    base, _ = server
+    code, _, body = _post(base, {})
+    assert code == 400
+    assert "text" in json.loads(body)["error"]
+
+
+def test_concurrent_requests_coalesce_into_batches(server):
+    base, httpd = server
+    b0 = httpd.batcher.batches_run
+    r0 = httpd.batcher.requests_served
+    results = [None] * 4
+
+    def hit(i):
+        results[i] = _post(base, {"text": "hello there", "format": "json"})
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(code == 200 for code, _, _ in results)
+    served = httpd.batcher.requests_served - r0
+    batches = httpd.batcher.batches_run - b0
+    assert served == 4
+    # the 300 ms coalescing window must have merged at least two requests
+    assert batches < served
+    # batched output matches the single-request output exactly
+    single = json.loads(results[0][2])
+    for code, _, body in results[1:]:
+        assert json.loads(body)["pcm16_b64"] == single["pcm16_b64"]
+
+
+def test_incompatible_factors_still_served(server):
+    base, _ = server
+    code, _, body = _post(base, {"text": "hello there", "format": "json",
+                                 "d_factor": 2.0})
+    assert code == 200
+    slow = np.frombuffer(base64.b64decode(json.loads(body)["pcm16_b64"]), "<i2")
+    code, _, body = _post(base, {"text": "hello there", "format": "json"})
+    fast = np.frombuffer(base64.b64decode(json.loads(body)["pcm16_b64"]), "<i2")
+    assert len(slow) > len(fast)  # d_factor 2.0 ~ twice the duration
