@@ -22,6 +22,13 @@ inside the tile are statically unrolled. Requires T_feats % 8 == 0 (mel
 buckets are multiples of 128). Production training MAS remains ops/mas.py's
 lax.scan (its gather carries the bin-loss gradient); this kernel serves
 extract-durations workloads.
+
+Measured A/B on a v5e chip (T_text=384, T_mel=768, f32, jit, sync timing):
+scan 4.04 ms vs pallas 4.57 ms at B=16; scan 10.94 ms vs pallas 27.25 ms at
+B=128 (durations bit-identical). The sublane-tiling workaround (8-way static
+unroll per tile) and the one-hot backtrace reductions cost more than the
+XLA scan's fused shift-max — so the scan stays the production path by
+measurement, not just by default.
 """
 
 from functools import partial
