@@ -112,6 +112,38 @@ def test_concurrent_requests_coalesce_into_batches(server):
         assert json.loads(body)["pcm16_b64"] == single["pcm16_b64"]
 
 
+def test_serve_from_exported_artifact(tmp_path):
+    """load_model dispatch: a metadata.json directory serves via
+    ExportedOptiSpeech (the torch-free minimal runtime)."""
+    from optispeech_tpu.cli.serve import load_model
+    from optispeech_tpu.export.exporter import ExportedOptiSpeech, export_model
+
+    cfg = ExperimentConfig(
+        generator=tiny_cfg(),
+        data=DataConfig(
+            text_bucket_size=16, mel_bucket_size=32,
+            text_processor=TextProcessorConfig(tokenizer="char"),
+        ),
+    )
+    api = OptiSpeech(cfg, seed=0)
+    out_dir = str(tmp_path / "exported")
+    export_model(api, out_dir, text_buckets=(16,), frames_per_token=8)
+
+    model = load_model(out_dir)
+    assert isinstance(model, ExportedOptiSpeech)
+    httpd = serve(model, host="127.0.0.1", port=0, max_batch=4, batch_wait_ms=10.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        code, _, body = _post(base, {"text": "hello", "format": "json"})
+        assert code == 200
+        obj = json.loads(body)
+        assert len(base64.b64decode(obj["pcm16_b64"])) > 0
+    finally:
+        httpd.shutdown()
+
+
 def test_incompatible_factors_still_served(server):
     base, _ = server
     code, _, body = _post(base, {"text": "hello there", "format": "json",
