@@ -5,9 +5,10 @@ Capability parity with the reference's pitch stack
 the reference ships DIO/Harvest (pyworld), PENN, JDC and CREPE plus an
 EnsemblePitchExtractor that weight-averages them and re-applies an
 unvoiced mask from a designated detector (:219-250). None of those C++/torch
-model dependencies exist in this environment, so this module provides two
-INDEPENDENT self-contained trackers — normalized autocorrelation (data/dsp.py)
-and YIN (cumulative-mean-normalized difference, de Cheveigné & Kawahara 2002)
+model dependencies exist in this environment, so this module provides three
+INDEPENDENT self-contained trackers — normalized autocorrelation (data/dsp.py),
+YIN (cumulative-mean-normalized difference, de Cheveigné & Kawahara 2002) and
+cepstral peak picking with CPP voicing (Noll 1967)
 — under the same constructor/__call__ contract, plus the same ensemble
 semantics: stack -> weighted average -> UV mask (f0 <= f_min // 3.5 on the
 designated detector) -> zero -> optional interpolation through unvoiced runs.
@@ -118,22 +119,109 @@ class YINPitchExtractor:
         )
 
 
+def cepstrum_pitch(
+    wav: np.ndarray,
+    sample_rate: int,
+    hop_length: int,
+    n_frames: int,
+    f_min: float = 65.0,
+    f_max: float = 800.0,
+    frame_length: int | None = None,
+    cpp_threshold: float = 0.12,
+    interpolate: bool = True,
+) -> np.ndarray:
+    """Cepstral pitch tracker (Noll 1967): real cepstrum peak in the
+    [1/f_max, 1/f_min] quefrency band, voiced/unvoiced by cepstral peak
+    prominence (peak height above a linear trend fitted over the band —
+    the CPP measure). A third estimator family for the ensemble: its error
+    modes (spectral, log-magnitude domain) are independent of both the
+    autocorrelation and YIN (difference-function) time-domain trackers."""
+    frame_length = frame_length or int(4 * sample_rate / f_min)
+    n_fft = 1 << (frame_length - 1).bit_length()  # next pow2 >= frame
+    tau_min = max(int(sample_rate / f_max), 2)
+    tau_max = min(int(sample_rate / f_min) + 2, n_fft // 2 - 1)
+    half = frame_length // 2
+    x = np.pad(wav.astype(np.float64), (half, half + frame_length), mode="reflect")
+
+    idx = np.arange(frame_length)[None, :] + hop_length * np.arange(n_frames)[:, None]
+    frames = x[np.minimum(idx, len(x) - 1)] * np.hanning(frame_length)[None, :]
+    spec = np.abs(np.fft.rfft(frames, n_fft, axis=1))
+    ceps = np.fft.irfft(np.log(spec + 1e-10), n_fft, axis=1)[:, : tau_max + 1]
+
+    band = ceps[:, tau_min : tau_max + 1]
+    q = np.arange(tau_min, tau_max + 1, dtype=np.float64)
+    # per-frame linear trend over the band (closed-form least squares)
+    qm = q.mean()
+    denom = ((q - qm) ** 2).sum()
+    slope = ((q - qm)[None, :] * (band - band.mean(1, keepdims=True))).sum(1) / denom
+    k = np.argmax(band, axis=1)
+    peak = band[np.arange(n_frames), k]
+    trend_at_peak = band.mean(1) + slope * (q[k] - qm)
+    prominence = peak - trend_at_peak
+
+    tau = (tau_min + k).astype(np.float64)
+    # parabolic refinement around the cepstral peak
+    t_int = tau_min + k
+    ok = (t_int > tau_min) & (t_int < tau_max)
+    a = ceps[np.arange(n_frames), np.maximum(t_int - 1, 0)]
+    b = peak
+    c = ceps[np.arange(n_frames), np.minimum(t_int + 1, tau_max)]
+    den = a - 2 * b + c
+    safe = np.where(np.abs(den) > 1e-12, den, 1.0)
+    shift = np.where(np.abs(den) > 1e-12, 0.5 * (a - c) / safe, 0.0)
+    tau = np.where(ok, tau + np.clip(shift, -1, 1), tau)
+
+    energy = (frames**2).sum(1)
+    voiced = (prominence > cpp_threshold) & (energy > 1e-8)
+    f0 = np.where(voiced, sample_rate / tau, 0.0)
+
+    if interpolate:
+        f0 = _interp_unvoiced(f0)
+    return f0.astype(np.float32)
+
+
+class CepstralPitchExtractor:
+    """Same constructor/__call__ contract as the reference extractors
+    (pitch_extractors.py:24-47)."""
+
+    def __init__(self, sample_rate, n_feats, hop_length, n_fft, win_length,
+                 f_min, f_max, interpolate: bool = True,
+                 cpp_threshold: float = 0.12, **_):
+        self.sample_rate = sample_rate
+        self.hop_length = hop_length
+        self.f_min = max(float(f_min), 50.0)
+        self.f_max = min(float(f_max), 800.0) if f_max else 800.0
+        self.cpp_threshold = cpp_threshold
+        self.interpolate = interpolate
+
+    def __call__(self, wav, mel_length):
+        return trim_or_pad_to(
+            cepstrum_pitch(
+                wav, self.sample_rate, self.hop_length, mel_length,
+                f_min=self.f_min, f_max=self.f_max,
+                cpp_threshold=self.cpp_threshold, interpolate=self.interpolate,
+            ),
+            mel_length,
+        )
+
+
 class EnsemblePitchExtractor:
     """Weighted ensemble with the reference's UV-masking contract
     (pitch_extractors.py:219-250): stack member estimates, weighted-average,
     zero frames the designated UV detector marks unvoiced
     (f0 <= f_min // 3.5), then interpolate through the zeros.
 
-    Members here: autocorrelation (weight 0.6, also the UV detector — the
-    JDC role) and YIN (0.4). Both run with interpolate=False so the average
-    blends real estimates only where each tracker is voiced."""
+    Members here: autocorrelation (weight 0.5, also the UV detector — the
+    JDC role), YIN (0.3) and cepstral (0.2). All run with interpolate=False
+    so the average blends real estimates only where each tracker is voiced."""
 
     def __init__(self, sample_rate, n_feats, hop_length, n_fft, win_length,
-                 f_min, f_max, interpolate: bool = True, weights=(0.6, 0.4), **_):
+                 f_min, f_max, interpolate: bool = True, weights=(0.5, 0.3, 0.2), **_):
         kw = dict(sample_rate=sample_rate, n_feats=n_feats, hop_length=hop_length,
                   n_fft=n_fft, win_length=win_length, f_min=f_min, f_max=f_max,
                   interpolate=False)
-        self._extractors = [AutocorrelationPitchExtractor(**kw), YINPitchExtractor(**kw)]
+        self._extractors = [AutocorrelationPitchExtractor(**kw), YINPitchExtractor(**kw),
+                            CepstralPitchExtractor(**kw)]
         self._weights = np.asarray(weights, np.float64)
         self.uv_detector_index = 0
         self.uv_threshold = float(f_min) // 3.5
@@ -157,6 +245,7 @@ class EnsemblePitchExtractor:
 PITCH_EXTRACTORS = {
     "autocorr": AutocorrelationPitchExtractor,
     "yin": YINPitchExtractor,
+    "cepstrum": CepstralPitchExtractor,
     "ensemble": EnsemblePitchExtractor,
 }
 

@@ -17,11 +17,15 @@ SR = 24000
 HOP = 256
 
 
-def linear_sweep(f0, f1, dur, sr=SR, amp=0.4):
+def linear_sweep(f0, f1, dur, sr=SR, amp=0.4, n_harm=1):
+    """Sine sweep with known instantaneous F0; `n_harm>1` adds 1/k-weighted
+    harmonics (speech-like; a pure sine is the degenerate case for cepstral
+    pitch, which measures harmonic spacing)."""
     t = np.arange(int(dur * sr)) / sr
     inst = f0 + (f1 - f0) * t / dur
     phase = 2 * np.pi * np.cumsum(inst) / sr
-    return (amp * np.sin(phase)).astype(np.float32), inst
+    sig = sum((amp / k) * np.sin(k * phase) for k in range(1, n_harm + 1))
+    return sig.astype(np.float32), inst
 
 
 def harmonic_tone(f0, dur, sr=SR, amp=0.3, n_harm=6):
@@ -37,7 +41,7 @@ def _feats():
 
 @pytest.mark.parametrize("name", sorted(PITCH_EXTRACTORS))
 def test_tracker_median_error_under_5hz_on_sweep(name):
-    wav, inst = linear_sweep(150.0, 250.0, 2.0)
+    wav, inst = linear_sweep(150.0, 250.0, 2.0, n_harm=5)
     n_frames = len(wav) // HOP
     ex = make_pitch_extractor(name, _feats(), interpolate=False)
     f0 = ex(wav, n_frames)
@@ -62,7 +66,7 @@ def test_yin_harmonic_tone_no_octave_error():
     assert abs(np.median(f0[voiced]) - 180.0) < 4.0
 
 
-@pytest.mark.parametrize("name", ["yin", "ensemble"])
+@pytest.mark.parametrize("name", ["yin", "cepstrum", "ensemble"])
 def test_tracker_reports_unvoiced_on_noise(name):
     rng = np.random.default_rng(0)
     wav = (rng.normal(size=SR) * 0.1).astype(np.float32)
@@ -99,12 +103,16 @@ def test_ensemble_members_disagreement_is_weighted():
     wav, _ = linear_sweep(200.0, 200.0, 1.0)
     n_frames = len(wav) // HOP
     feats = _feats()
-    members = [make_pitch_extractor(n, feats, interpolate=False)(wav, n_frames)
-               for n in ("autocorr", "yin")]
+    members = np.stack([
+        make_pitch_extractor(n, feats, interpolate=False)(wav, n_frames)
+        for n in ("autocorr", "yin", "cepstrum")
+    ])
     ens = make_pitch_extractor("ensemble", feats, interpolate=False)(wav, n_frames)
     voiced = ens > 0
-    lo = np.minimum(members[0], members[1])[voiced]
-    hi = np.maximum(members[0], members[1])[voiced]
+    # the per-frame renormalized average uses only VOICED member estimates
+    vm = np.where(members > 0, members, np.nan)
+    lo = np.nanmin(vm, axis=0)[voiced]
+    hi = np.nanmax(vm, axis=0)[voiced]
     assert ((ens[voiced] >= lo - 1e-3) & (ens[voiced] <= hi + 1e-3)).all()
 
 
