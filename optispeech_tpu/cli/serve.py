@@ -16,6 +16,11 @@ Endpoints:
          "format": "wav" | "pcm16" | "json"}
       -> audio/wav bytes (WAV), raw int16 PCM (+ X-Sample-Rate header), or
          JSON {"sample_rate", "pcm16_b64", "latency_ms"}.
+    POST /stream             same body (no "format") -> chunked-transfer raw
+      int16 PCM: audio starts flowing while later frames are still being
+      decoded (models/streaming.py chunked pipeline; time-to-first-audio is
+      one chunk, not the whole utterance). Live checkpoints only — exported
+      artifacts answer 501.
 
 Batching contract: d/p/e factors are whole-batch scalars in the compiled
 graph, so only requests with identical (d, p, e) coalesce; speaker/language
@@ -185,7 +190,28 @@ def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
     return buf.getvalue()
 
 
-def make_handler(model, batcher: Batcher, timeout_s: float = 120.0):
+def make_handler(model, batcher: Batcher, timeout_s: float = 120.0,
+                 stream_chunk_frames: int = 256, stream_overlap: int | None = None):
+    streamer_box: list = []  # lazily-built StreamingSynthesiser
+    streamer_lock = threading.Lock()
+
+    def get_streamer():
+        if not hasattr(model, "generator"):
+            return None  # exported artifacts replay frozen graphs; no chunk fn
+        with streamer_lock:
+            if not streamer_box:
+                from ..models.streaming import DEFAULT_OVERLAP, StreamingSynthesiser
+
+                streamer_box.append(StreamingSynthesiser(
+                    model, chunk_frames=stream_chunk_frames,
+                    overlap=DEFAULT_OVERLAP if stream_overlap is None else stream_overlap,
+                ))
+        return streamer_box[0]
+
+    return _make_handler_cls(model, batcher, timeout_s, get_streamer)
+
+
+def _make_handler_cls(model, batcher, timeout_s, get_streamer):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -221,8 +247,12 @@ def make_handler(model, batcher: Batcher, timeout_s: float = 120.0):
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path not in ("/synthesise", "/synthesize"):
+            if self.path not in ("/synthesise", "/synthesize", "/stream"):
                 self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            if self.path == "/stream" and get_streamer() is None:
+                self._json(501, {"error": "streaming needs a live checkpoint "
+                                          "(exported artifacts replay frozen graphs)"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
@@ -249,6 +279,10 @@ def make_handler(model, batcher: Batcher, timeout_s: float = 120.0):
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
 
+            if self.path == "/stream":
+                self._stream(inputs.as_numpy())
+                return
+
             pending = _Pending(inputs.as_numpy())
             batcher.submit(pending)
             if not pending.event.wait(timeout_s):
@@ -259,6 +293,44 @@ def make_handler(model, batcher: Batcher, timeout_s: float = 120.0):
                 return
 
             fmt = req.get("format", "wav")
+            self._respond_audio(fmt, pending)
+
+        def _stream(self, inputs):
+            """Chunked-transfer raw PCM16: one HTTP chunk per decoded window.
+            Each sentence row streams in sequence (jax dispatch is
+            thread-safe, so this interleaves with batcher traffic)."""
+            from ..values import InferenceInputs
+
+            streamer = get_streamer()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("X-Sample-Rate", str(model.sample_rate))
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def emit(b: bytes):
+                self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
+
+            try:
+                for i in range(inputs.x.shape[0]):
+                    row = InferenceInputs(
+                        x=inputs.x[i : i + 1],
+                        x_lengths=inputs.x_lengths[i : i + 1],
+                        sids=None if inputs.sids is None else inputs.sids[i : i + 1],
+                        lids=None if inputs.lids is None else inputs.lids[i : i + 1],
+                        d_factor=inputs.d_factor, p_factor=inputs.p_factor,
+                        e_factor=inputs.e_factor, clean_text=inputs.clean_text,
+                    )
+                    for chunk in streamer.stream(row):
+                        pcm = (np.clip(chunk, -1, 1) * 32767.0).astype("<i2")
+                        if len(pcm):
+                            emit(pcm.tobytes())
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception:
+                log.exception("stream failed")
+                self.close_connection = True
+
+        def _respond_audio(self, fmt, pending):
             pcm = (np.clip(pending.wav, -1, 1) * 32767.0).astype("<i2")
             if fmt == "json":
                 self._json(200, {
@@ -296,9 +368,12 @@ def _lang_kw(model, language):
 
 
 def serve(model, host: str = "0.0.0.0", port: int = 8000,
-          max_batch: int = 32, batch_wait_ms: float = 20.0):
+          max_batch: int = 32, batch_wait_ms: float = 20.0,
+          stream_chunk_frames: int = 256, stream_overlap: int | None = None):
     batcher = Batcher(model, max_batch=max_batch, wait_ms=batch_wait_ms)
-    httpd = ThreadingHTTPServer((host, port), make_handler(model, batcher))
+    handler = make_handler(model, batcher, stream_chunk_frames=stream_chunk_frames,
+                           stream_overlap=stream_overlap)
+    httpd = ThreadingHTTPServer((host, port), handler)
     httpd.batcher = batcher  # exposed for tests/metrics
     return httpd
 
@@ -313,10 +388,13 @@ def main(argv=None):
     p.add_argument("--batch-wait-ms", type=float, default=20.0,
                    help="how long an idle batch waits for co-batchees")
     p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    p.add_argument("--stream-chunk-frames", type=int, default=256,
+                   help="frames per /stream window")
     args = p.parse_args(argv)
 
     model = load_model(args.model, bf16=args.bf16)
-    httpd = serve(model, args.host, args.port, args.max_batch, args.batch_wait_ms)
+    httpd = serve(model, args.host, args.port, args.max_batch, args.batch_wait_ms,
+                  stream_chunk_frames=args.stream_chunk_frames)
     log.info(f"Serving on http://{args.host}:{args.port} "
              f"(max_batch={args.max_batch}, wait={args.batch_wait_ms} ms)")
     try:

@@ -112,6 +112,72 @@ def test_concurrent_requests_coalesce_into_batches(server):
         assert json.loads(body)["pcm16_b64"] == single["pcm16_b64"]
 
 
+def test_stream_endpoint_matches_batch_output(server):
+    """POST /stream sends chunked-transfer PCM16 that reassembles to the
+    batch path's audio (the streaming module's exact-match guarantee)."""
+    import http.client
+
+    base, httpd = server
+    # dedicated server with small stream windows so multiple chunks flow
+    # (tiny model receptive field ~15 frames -> overlap 16 suffices)
+    model = httpd.batcher.model
+    httpd2 = serve(model, host="127.0.0.1", port=0, max_batch=4,
+                   batch_wait_ms=10.0, stream_chunk_frames=16, stream_overlap=16)
+    t = threading.Thread(target=httpd2.serve_forever, daemon=True)
+    t.start()
+    try:
+        payload = {"text": "hello world this is a much longer sentence for "
+                           "streaming synthesis", "d_factor": 3.0}
+        # raw http.client so we can count the transfer chunks
+        conn = http.client.HTTPConnection("127.0.0.1", httpd2.server_address[1],
+                                          timeout=600)
+        conn.request("POST", "/stream", json.dumps(payload).encode(),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.headers["Transfer-Encoding"] == "chunked"
+        streamed = np.frombuffer(resp.read(), "<i2")
+        conn.close()
+        assert len(streamed) > 0
+
+        code, _, body = _post(f"http://127.0.0.1:{httpd2.server_address[1]}",
+                              {**payload, "format": "json"})
+        assert code == 200
+        batch = np.frombuffer(
+            base64.b64decode(json.loads(body)["pcm16_b64"]), "<i2")
+        n = min(len(streamed), len(batch))
+        assert n > 0.9 * max(len(streamed), len(batch))
+        # matches away from f32 path noise (same 2e-3 atol as export parity)
+        assert np.abs(streamed[:n].astype(int) - batch[:n].astype(int)).max() <= 64
+    finally:
+        httpd2.shutdown()
+
+
+def test_stream_on_artifact_is_501(tmp_path):
+    from optispeech_tpu.cli.serve import load_model
+    from optispeech_tpu.export.exporter import export_model
+
+    cfg = ExperimentConfig(
+        generator=tiny_cfg(),
+        data=DataConfig(
+            text_bucket_size=16, mel_bucket_size=32,
+            text_processor=TextProcessorConfig(tokenizer="char"),
+        ),
+    )
+    api = OptiSpeech(cfg, seed=0)
+    out_dir = str(tmp_path / "exported")
+    export_model(api, out_dir, text_buckets=(16,), frames_per_token=8)
+    httpd = serve(load_model(out_dir), host="127.0.0.1", port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        code, _, body = _post(f"http://127.0.0.1:{httpd.server_address[1]}",
+                              {"text": "hello"}, path="/stream")
+        assert code == 501
+    finally:
+        httpd.shutdown()
+
+
 def test_serve_from_exported_artifact(tmp_path):
     """load_model dispatch: a metadata.json directory serves via
     ExportedOptiSpeech (the torch-free minimal runtime)."""
