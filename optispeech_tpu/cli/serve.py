@@ -35,6 +35,7 @@ import argparse
 import base64
 import io
 import json
+import os
 import queue
 import threading
 import time
@@ -50,8 +51,6 @@ log = get_pylogger(__name__)
 def load_model(path: str, bf16: bool = False):
     """Accepts either a live inference checkpoint (config.json) or an
     exported StableHLO artifact (metadata.json)."""
-    import os
-
     if os.path.exists(os.path.join(path, "metadata.json")):
         from ..export.exporter import ExportedOptiSpeech
 
@@ -131,7 +130,13 @@ class Batcher:
         return group
 
     def _merge(self, group):
-        """Concatenate the requests' sentence rows into one InferenceInputs."""
+        """Concatenate the requests' sentence rows into one InferenceInputs,
+        padded up the batch ladder.
+
+        The batch dim is bucketed to powers of two (XLA compiles one program
+        per shape; without the ladder every distinct coalesced request count
+        would trigger a fresh multi-minute jit — a compile storm under mixed
+        load). Pad rows repeat row 0 and are dropped after synthesis."""
         from ..values import InferenceInputs
 
         t = max(p.inputs.x.shape[1] for p in group)
@@ -146,21 +151,35 @@ class Batcher:
             [np.asarray(p.inputs.sids) for p in group]) if has_sids else None
         lids = np.concatenate(
             [np.asarray(p.inputs.lids) for p in group]) if has_lids else None
+
+        n_real = x.shape[0]
+        target = 1
+        while target < n_real:
+            target *= 2
+        if target > n_real:
+            reps = np.zeros(target - n_real, np.int64)  # repeat row 0
+            x = np.concatenate([x, x[reps]])
+            x_lengths = np.concatenate([x_lengths, x_lengths[reps]])
+            if sids is not None:
+                sids = np.concatenate([sids, sids[reps]])
+            if lids is not None:
+                lids = np.concatenate([lids, lids[reps]])
+
         f = group[0].inputs
         return InferenceInputs(
             x=x, x_lengths=x_lengths, sids=sids, lids=lids,
             d_factor=f.d_factor, p_factor=f.p_factor, e_factor=f.e_factor,
             clean_text=" | ".join(str(p.inputs.clean_text) for p in group),
-        )
+        ), n_real
 
     def _loop(self):
         while True:
             first = self.q.get()
             group = self._drain_compatible(first)
             try:
-                merged = self._merge(group)
+                merged, n_real = self._merge(group)
                 out = self.model.synthesise(merged)
-                wavs = out.unbatched_wavs()
+                wavs = out.unbatched_wavs()[:n_real]  # drop ladder pad rows
                 i = 0
                 for p in group:
                     n = p.inputs.x.shape[0]
@@ -170,7 +189,7 @@ class Batcher:
                     p.latency_ms = float(out.latency)
                     i += n
                 self.batches_run += 1
-                self.rows_synthesised += merged.x.shape[0]
+                self.rows_synthesised += n_real
                 self.requests_served += len(group)
             except Exception as e:  # surface per-request, keep serving
                 log.exception("batch failed")
@@ -190,7 +209,7 @@ def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
     return buf.getvalue()
 
 
-def make_handler(model, batcher: Batcher, timeout_s: float = 120.0,
+def make_handler(model, batcher: Batcher, timeout_s: float = 300.0,
                  stream_chunk_frames: int = 256, stream_overlap: int | None = None):
     streamer_box: list = []  # lazily-built StreamingSynthesiser
     streamer_lock = threading.Lock()
@@ -369,9 +388,11 @@ def _lang_kw(model, language):
 
 def serve(model, host: str = "0.0.0.0", port: int = 8000,
           max_batch: int = 32, batch_wait_ms: float = 20.0,
-          stream_chunk_frames: int = 256, stream_overlap: int | None = None):
+          stream_chunk_frames: int = 256, stream_overlap: int | None = None,
+          request_timeout_s: float = 300.0):
     batcher = Batcher(model, max_batch=max_batch, wait_ms=batch_wait_ms)
-    handler = make_handler(model, batcher, stream_chunk_frames=stream_chunk_frames,
+    handler = make_handler(model, batcher, timeout_s=request_timeout_s,
+                           stream_chunk_frames=stream_chunk_frames,
                            stream_overlap=stream_overlap)
     httpd = ThreadingHTTPServer((host, port), handler)
     httpd.batcher = batcher  # exposed for tests/metrics
@@ -390,11 +411,24 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
     p.add_argument("--stream-chunk-frames", type=int, default=256,
                    help="frames per /stream window")
+    p.add_argument("--request-timeout", type=float, default=300.0,
+                   help="per-request wait on the batcher (first calls compile)")
     args = p.parse_args(argv)
+
+    # persistent compile cache: new batch shapes jit-compile on first use
+    # (same default as bench.py / the train CLI)
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     model = load_model(args.model, bf16=args.bf16)
     httpd = serve(model, args.host, args.port, args.max_batch, args.batch_wait_ms,
-                  stream_chunk_frames=args.stream_chunk_frames)
+                  stream_chunk_frames=args.stream_chunk_frames,
+                  request_timeout_s=args.request_timeout)
     log.info(f"Serving on http://{args.host}:{args.port} "
              f"(max_batch={args.max_batch}, wait={args.batch_wait_ms} ms)")
     try:

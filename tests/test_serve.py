@@ -79,6 +79,22 @@ def test_synthesise_json_and_wav_and_pcm(server):
     np.testing.assert_array_equal(np.frombuffer(body, "<i2"), pcm)
 
 
+def test_merge_pads_batch_up_the_ladder(server):
+    """3 single-row requests merge into a power-of-two batch (one compiled
+    shape per ladder rung, no per-count compile storm), pads dropped."""
+    from optispeech_tpu.cli.serve import _Pending
+
+    _, httpd = server
+    batcher = httpd.batcher
+    model = batcher.model
+    group = [_Pending(model.prepare_input("hey", split_sentences=False).as_numpy())
+             for _ in range(3)]
+    merged, n_real = batcher._merge(group)
+    assert n_real == 3
+    assert merged.x.shape[0] == 4  # next power of two
+    np.testing.assert_array_equal(merged.x[3], merged.x[0])  # pad repeats row 0
+
+
 def test_missing_text_is_400(server):
     base, _ = server
     code, _, body = _post(base, {})
