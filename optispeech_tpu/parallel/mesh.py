@@ -45,9 +45,45 @@ def make_mesh(num_devices: Optional[int] = None, axis_name: str = "data") -> Mes
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_hybrid_mesh(num_slices: int, axis_names=("dcn_data", "data")) -> Mesh:
+    """2-D data mesh for multi-slice pods: slices on the outer (DCN) axis,
+    per-slice devices on the inner (ICI) axis.
+
+    Batches shard over BOTH axes (`hybrid_data_sharding`), so the gradient
+    all-reduce XLA inserts becomes a hierarchical reduction: intra-slice over
+    ICI first, then one small cross-slice hop over DCN — the layout the
+    scaling playbook prescribes for data parallelism across slices. On real
+    multi-slice hardware the device order uses `mesh_utils`'s DCN-aware
+    assignment; on a single slice (or the CPU ddp_sim harness) it reduces to
+    a reshape of the global device list, which preserves process-contiguity
+    so multi-host input feeding keeps working."""
+    devices = jax.devices()
+    if len(devices) % num_slices:
+        raise ValueError(f"{len(devices)} devices not divisible by {num_slices} slices")
+    per_slice = len(devices) // num_slices
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (1, per_slice), (num_slices, 1), devices=devices,
+        )
+    except Exception:  # no slice_index metadata (CPU harness / one slice)
+        arr = np.asarray(devices).reshape(num_slices, per_slice)
+    return Mesh(arr, axis_names)
+
+
+def hybrid_data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch dim sharded over every mesh axis (dcn x ici)."""
+    return NamedSharding(mesh, P(mesh.axis_names))
+
+
 def data_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
-    """Batch-dim sharding for input pytrees."""
-    return NamedSharding(mesh, P(axis_name))
+    """Batch-dim sharding for input pytrees: the batch shards over every
+    mesh axis whose name contains "data" (the 1-D `data` mesh, both axes of
+    a hybrid `dcn_data x data` mesh, and only the data axis of a
+    `data x model` tensor-parallel mesh)."""
+    axes = tuple(a for a in mesh.axis_names if "data" in str(a)) or (axis_name,)
+    return NamedSharding(mesh, P(axes))
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
@@ -59,7 +95,10 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
     is assembled per-shard with `jax.make_array_from_process_local_data` —
     no cross-host data movement."""
     multihost = jax.process_count() > 1
-    n = jax.local_device_count() if multihost else mesh.devices.size
+    data_axes = [a for a in mesh.axis_names if "data" in str(a)]
+    mesh_data_size = int(np.prod([mesh.shape[a] for a in data_axes])) if data_axes \
+        else mesh.devices.size
+    n = jax.local_device_count() if multihost else mesh_data_size
     for k, v in batch.items():
         if v is not None and hasattr(v, "shape") and v.shape and v.shape[0] % n:
             raise ValueError(
