@@ -65,12 +65,12 @@ def load_model(path: str, bf16: bool = False):
 
 
 class _Pending:
-    __slots__ = ("inputs", "event", "wav", "sample_rate", "latency_ms", "error")
+    __slots__ = ("inputs", "event", "pcm16", "sample_rate", "latency_ms", "error")
 
     def __init__(self, inputs):
         self.inputs = inputs  # InferenceInputs (rows = sentences)
         self.event = threading.Event()
-        self.wav = None
+        self.pcm16 = None  # little-endian int16 waveform
         self.sample_rate = None
         self.latency_ms = None
         self.error = None
@@ -82,10 +82,17 @@ class Batcher:
     to `max_batch` sentence rows; a new arrival waits at most `wait_ms` for
     co-batchees once the batcher is idle."""
 
-    def __init__(self, model, max_batch: int = 32, wait_ms: float = 20.0):
+    def __init__(self, model, max_batch: int = 32, wait_ms: float = 20.0,
+                 frames_per_token: int = 8):
         self.model = model
         self.max_batch = max_batch
         self.wait_ms = wait_ms
+        self.frames_per_token = frames_per_token
+        # adaptive frame cap: start at frames_per_token, then track the
+        # observed frames/token ratio so the fixed-shape graph (and its
+        # device->host transfer) stops over-allocating. 25% headroom; an
+        # underestimate just retries with a doubled cap.
+        self._fpt_seen = None
         self.q: "queue.Queue[_Pending]" = queue.Queue()
         self.requests_served = 0
         self.batches_run = 0
@@ -172,21 +179,62 @@ class Batcher:
             clean_text=" | ".join(str(p.inputs.clean_text) for p in group),
         ), n_real
 
+    def _synthesise_batch(self, merged):
+        """Returns (pcm16 rows, per-row sample lengths, latency_ms).
+
+        Live checkpoints go through `synthesise_on_device(pcm16=True)`: ONE
+        dispatch, no mid-graph host sync, int16 fetched straight off the
+        chip — on the tunneled harness this cuts per-batch wall ~3x vs the
+        two-stage path (the mid-sync for y_lengths and the f32 wav D2H
+        dominate there; see docs/evidence/serving_load.md). The frame cap is
+        `frames_per_token * max_text_len` rounded to the mel bucket; if any
+        row saturates it, the cap doubles and the batch re-runs (rare — the
+        retry reuses the ladder of compiled shapes).
+        Exported artifacts fall back to the generic `synthesise`."""
+        t0 = time.perf_counter()
+        if hasattr(self.model, "synthesise_on_device"):
+            from ..utils.bucketing import round_up_to_bucket
+
+            hop = self.model.hop_length
+            bucket = self.model.mel_bucket
+            cap = getattr(getattr(self.model, "cfg", None), "data", None)
+            cap = getattr(cap, "max_mel_len", None) or 4096
+            t = int(np.asarray(merged.x_lengths).max())
+            fpt = self.frames_per_token if self._fpt_seen is None \
+                else min(self.frames_per_token, self._fpt_seen * 1.25)
+            n_frames = round_up_to_bucket(max(int(t * fpt), bucket), bucket)
+            n_frames = min(n_frames, cap)
+            while True:
+                out = self.model.synthesise_on_device(merged, n_frames, pcm16=True)
+                wav_lengths = np.asarray(out["wav_lengths"])
+                if (wav_lengths < n_frames * hop).all() or n_frames >= cap:
+                    break
+                n_frames = min(n_frames * 2, cap)
+            lens = np.asarray(merged.x_lengths, dtype=float)
+            ratio = float((wav_lengths / hop / np.maximum(lens, 1)).max())
+            self._fpt_seen = ratio if self._fpt_seen is None \
+                else max(self._fpt_seen, ratio)
+            pcm = np.asarray(out["wav_pcm16"])
+        else:
+            out = self.model.synthesise(merged)
+            wav_lengths = np.asarray(out.wav_lengths)
+            pcm = (np.clip(np.asarray(out.wav), -1, 1) * 32767.0).astype("<i2")
+        return pcm, wav_lengths.astype(int), (time.perf_counter() - t0) * 1e3
+
     def _loop(self):
         while True:
             first = self.q.get()
             group = self._drain_compatible(first)
             try:
                 merged, n_real = self._merge(group)
-                out = self.model.synthesise(merged)
-                wavs = out.unbatched_wavs()[:n_real]  # drop ladder pad rows
+                pcm, wav_lengths, latency_ms = self._synthesise_batch(merged)
                 i = 0
                 for p in group:
                     n = p.inputs.x.shape[0]
-                    p.wav = np.concatenate(
-                        [np.asarray(w).squeeze() for w in wavs[i : i + n]])
+                    p.pcm16 = np.concatenate(
+                        [pcm[j, : wav_lengths[j]] for j in range(i, i + n)])
                     p.sample_rate = self.model.sample_rate
-                    p.latency_ms = float(out.latency)
+                    p.latency_ms = latency_ms
                     i += n
                 self.batches_run += 1
                 self.rows_synthesised += n_real
@@ -200,12 +248,11 @@ class Batcher:
                     p.event.set()
 
 
-def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+def _wav_bytes(pcm16: np.ndarray, sr: int) -> bytes:
     from scipy.io import wavfile
 
     buf = io.BytesIO()
-    wav = np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
-    wavfile.write(buf, sr, (wav * 32767.0).astype(np.int16))
+    wavfile.write(buf, sr, np.ascontiguousarray(pcm16, np.int16))
     return buf.getvalue()
 
 
@@ -350,7 +397,7 @@ def _make_handler_cls(model, batcher, timeout_s, get_streamer):
                 self.close_connection = True
 
         def _respond_audio(self, fmt, pending):
-            pcm = (np.clip(pending.wav, -1, 1) * 32767.0).astype("<i2")
+            pcm = pending.pcm16.astype("<i2", copy=False)
             if fmt == "json":
                 self._json(200, {
                     "sample_rate": pending.sample_rate,
@@ -366,7 +413,7 @@ def _make_handler_cls(model, batcher, timeout_s, get_streamer):
                 self.end_headers()
                 self.wfile.write(body)
             else:
-                body = _wav_bytes(pending.wav, pending.sample_rate)
+                body = _wav_bytes(pcm, pending.sample_rate)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(body)))
