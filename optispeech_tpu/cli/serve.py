@@ -2,10 +2,10 @@
 
 No reference analogue (the reference's only server is the gradio demo,
 /root/reference/scripts/gradio_ui.py) — this is the production serving path
-the TPU design targets: concurrent HTTP requests are coalesced into one
-batched `synthesise` call (the bucketed two-stage jit path, where batch-32
-throughput is ~4000x higher than per-request dispatch on a v5e chip; see
-bench.py / docs/evidence/synthesis_profile.md), then split back per request.
+the TPU design targets: concurrent HTTP requests coalesce into ONE device
+dispatch of the fixed-shape synthesis graph (batch padded up a power-of-two
+ladder, int16 PCM computed on device, adaptive frame cap), then split back
+per request. See docs/serving.md and docs/evidence/serving_load.md.
 
 Endpoints:
     GET  /health             -> {"status": "ok", ...counters}
