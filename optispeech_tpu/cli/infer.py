@@ -35,9 +35,7 @@ def main(argv=None):
     from ..models.optispeech import OptiSpeech
     from ..utils.wavio import save_wav
 
-    model = OptiSpeech.load_from_checkpoint(
-        args.checkpoint, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32
-    )
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.fused:
         import dataclasses
 
@@ -50,11 +48,10 @@ def main(argv=None):
             decoder=dataclasses.replace(g.decoder, fused_pallas=True),
             vocoder=dataclasses.replace(g.vocoder, fused_pallas=True),
         ))
-        model = OptiSpeech(
-            cfg, params=params,
-            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-            speakers=meta.get("speakers") or [],
-        )
+        model = OptiSpeech(cfg, params=params, compute_dtype=dtype,
+                           speakers=meta.get("speakers") or [])
+    else:
+        model = OptiSpeech.load_from_checkpoint(args.checkpoint, compute_dtype=dtype)
     speaker = args.speaker
     if speaker is not None and speaker.isdigit():
         speaker = int(speaker)

@@ -94,6 +94,7 @@ class Batcher:
         # underestimate just retries with a doubled cap.
         self._fpt_seen = None
         self.q: "queue.Queue[_Pending]" = queue.Queue()
+        self._deferred: list = []  # factor-incompatible requests, oldest first
         self.requests_served = 0
         self.batches_run = 0
         self.rows_synthesised = 0
@@ -110,14 +111,24 @@ class Batcher:
                 round(float(inp.e_factor), 4))
 
     def _drain_compatible(self, first: _Pending):
-        """Collect requests with `first`'s factor key up to max_batch rows;
-        incompatible ones go back on the queue (preserving arrival order is
-        not required — each request is independent)."""
+        """Collect requests with `first`'s factor key up to max_batch rows.
+        Incompatible arrivals go to `_deferred`, which the loop serves FIRST
+        on its next cycle — a minority-factor request therefore waits at most
+        one batch, it is never starved by a sustained majority-key stream."""
         group = [first]
         rows = first.inputs.x.shape[0]
         key = self._factor_key(first.inputs)
+        # absorb already-deferred requests that match this key
+        still_deferred = []
+        for d in self._deferred:
+            n = d.inputs.x.shape[0]
+            if self._factor_key(d.inputs) == key and rows + n <= self.max_batch:
+                group.append(d)
+                rows += n
+            else:
+                still_deferred.append(d)
+        self._deferred = still_deferred
         deadline = time.perf_counter() + self.wait_ms / 1e3
-        requeue = []
         while rows < self.max_batch:
             timeout = deadline - time.perf_counter()
             if timeout <= 0:
@@ -131,9 +142,7 @@ class Batcher:
                 group.append(nxt)
                 rows += n
             else:
-                requeue.append(nxt)
-        for r in requeue:
-            self.q.put(r)
+                self._deferred.append(nxt)
         return group
 
     def _merge(self, group):
@@ -200,8 +209,13 @@ class Batcher:
             cap = getattr(getattr(self.model, "cfg", None), "data", None)
             cap = getattr(cap, "max_mel_len", None) or 4096
             t = int(np.asarray(merged.x_lengths).max())
+            # the observed ratio may exceed the initial frames_per_token
+            # guess — let the estimate grow, or every batch would pay the
+            # cap-doubling retry forever. Tracked per unit d_factor so a
+            # d=2.0 batch doesn't permanently inflate default-rate batches.
+            d = float(merged.d_factor) or 1.0
             fpt = self.frames_per_token if self._fpt_seen is None \
-                else min(self.frames_per_token, self._fpt_seen * 1.25)
+                else self._fpt_seen * 1.25 * d
             n_frames = round_up_to_bucket(max(int(t * fpt), bucket), bucket)
             n_frames = min(n_frames, cap)
             while True:
@@ -211,7 +225,7 @@ class Batcher:
                     break
                 n_frames = min(n_frames * 2, cap)
             lens = np.asarray(merged.x_lengths, dtype=float)
-            ratio = float((wav_lengths / hop / np.maximum(lens, 1)).max())
+            ratio = float((wav_lengths / hop / np.maximum(lens, 1)).max()) / d
             self._fpt_seen = ratio if self._fpt_seen is None \
                 else max(self._fpt_seen, ratio)
             pcm = np.asarray(out["wav_pcm16"])
@@ -223,7 +237,7 @@ class Batcher:
 
     def _loop(self):
         while True:
-            first = self.q.get()
+            first = self._deferred.pop(0) if self._deferred else self.q.get()
             group = self._drain_compatible(first)
             try:
                 merged, n_real = self._merge(group)

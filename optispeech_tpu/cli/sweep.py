@@ -139,6 +139,11 @@ def main(argv=None):
             results = [json.loads(l) for l in f]
     else:
         os.makedirs(args.out_dir, exist_ok=True)
+        if os.path.exists(results_path):
+            # a fresh sweep must not mix with a previous run's trials
+            # (duplicate trial indices would corrupt --report / best_of)
+            os.replace(results_path, results_path + ".old")
+            log.info(f"previous results moved to {results_path}.old")
         rnd = random.Random(spec.get("seed", 0))
         results = []
         for i in range(int(spec.get("trials", 8))):

@@ -217,6 +217,16 @@ class DataLoader:
         self.num_shards = num_shards
         self.epoch = 0
         self._pos = 0  # batches already consumed in the current epoch
+        # (text_len, mel_len) per item, filled lazily: batch grouping and the
+        # multi-host global-max padding need only lengths, so items are fully
+        # loaded once for the cache instead of once per epoch/shard
+        self._len_cache: dict[int, tuple[int, int]] = {}
+
+    def _lengths_of(self, i: int) -> tuple[int, int]:
+        if i not in self._len_cache:
+            item = self.dataset[i]
+            self._len_cache[i] = (item["x"].shape[-1], item["mel"].shape[-1])
+        return self._len_cache[i]
 
     def state_dict(self) -> dict:
         return {"epoch": self.epoch, "pos": self._pos, "seed": self.seed}
@@ -237,10 +247,16 @@ class DataLoader:
         batches = []
         for start in range(0, n, group):
             chunk = idx[start : start + group]
-            chunk.sort(key=lambda i: self.dataset[i]["mel"].shape[-1])
+            chunk.sort(key=lambda i: self._lengths_of(i)[1])
             for bstart in range(0, len(chunk), self.batch_size):
                 bat = chunk[bstart : bstart + self.batch_size]
                 if len(bat) == self.batch_size or not self.drop_last:
+                    if self.num_shards > 1 and len(bat) < self.batch_size:
+                        # multi-host shards need equal-size slices on every
+                        # process; pad the partial batch by wrapping (the
+                        # DistributedSampler convention — duplicates, never
+                        # ragged/empty shards)
+                        bat = (bat * -(-self.batch_size // len(bat)))[: self.batch_size]
                     batches.append(bat)
         if self.shuffle:
             rnd.shuffle(batches)
@@ -256,12 +272,14 @@ class DataLoader:
         static shape (required for jax.make_array_from_process_local_data)."""
         if self.num_shards == 1:
             return self.collate([self.dataset[i] for i in bat])
-        items = [self.dataset[i] for i in bat]
-        t_text = max(it["x"].shape[-1] for it in items)
-        t_mel = max(it["mel"].shape[-1] for it in items)
+        # global max lengths from the cache; fully load ONLY the local slice
+        lens = [self._lengths_of(i) for i in bat]
+        t_text = max(l[0] for l in lens)
+        t_mel = max(l[1] for l in lens)
         local = self.batch_size // self.num_shards
         lo = self.shard_id * local
-        return self.collate(items[lo : lo + local], t_text=t_text, t_mel=t_mel)
+        items = [self.dataset[i] for i in bat[lo : lo + local]]
+        return self.collate(items, t_text=t_text, t_mel=t_mel)
 
     def __iter__(self) -> Iterator[dict]:
         batches = self._batch_indices()[self._pos :]

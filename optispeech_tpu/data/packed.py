@@ -284,6 +284,10 @@ class PackedLoader:
             for b in range(0, len(chunk), self.batch_size):
                 bat = chunk[b : b + self.batch_size]
                 if len(bat) == self.batch_size or not self.drop_last:
+                    if self.num_shards > 1 and len(bat) < self.batch_size:
+                        # shards need equal non-empty slices: wrap the partial
+                        # batch (same convention as datamodule.DataLoader)
+                        bat = np.resize(bat, self.batch_size)
                     batches.append(bat)
         if self.shuffle:
             rng.shuffle(batches)

@@ -14,6 +14,7 @@ Capability parity targets (SURVEY.md sections 3.1, 5):
 import contextlib
 import json
 import os
+import threading
 import time
 from typing import Iterable, Optional
 
@@ -172,13 +173,18 @@ class Trainer:
         t_last = time.perf_counter()
         steps_since = 0
 
-        # preemption safety: TPU maintenance events deliver SIGTERM; convert
-        # to KeyboardInterrupt so the finally-block checkpoints before exit
-        # (SURVEY.md §5 failure detection/elastic recovery)
+        # preemption safety: TPU maintenance events deliver SIGTERM; set a
+        # flag and exit at the next step boundary (SURVEY.md §5). An async
+        # raise could land INSIDE the donated train_step call, where the old
+        # TrainState's buffers are already deleted — the finally-block save
+        # would then crash on deleted arrays instead of checkpointing.
         import signal
 
+        preempted = threading.Event()
+
         def _sigterm(_sig, _frm):
-            raise KeyboardInterrupt("SIGTERM (preemption)")
+            log.info("SIGTERM (preemption) — will checkpoint at the step boundary")
+            preempted.set()
 
         old_handler = signal.signal(signal.SIGTERM, _sigterm)
         try:
@@ -209,6 +215,8 @@ class Trainer:
                         self.validate(state, val_loader, step)
                     if (step % cfg.ckpt_every_n_steps == 0 or fast_dev_run) and self.is_main:
                         self.ckpt.save(step, state, cfg, self._loader_state(train_loader))
+                    if preempted.is_set():
+                        raise KeyboardInterrupt("SIGTERM (preemption)")
                     if step >= max_steps:
                         break
         except KeyboardInterrupt:
@@ -216,8 +224,13 @@ class Trainer:
         finally:
             signal.signal(signal.SIGTERM, old_handler)
             if self.is_main:
-                self.ckpt.save(step, state, cfg, self._loader_state(train_loader))
-                self.ckpt.wait()
+                try:
+                    self.ckpt.save(step, state, cfg, self._loader_state(train_loader))
+                    self.ckpt.wait()
+                except Exception:  # e.g. ctrl-C mid-step donated the buffers
+                    log.exception(
+                        "final checkpoint failed; the last periodic checkpoint stands"
+                    )
             self.metrics.close()
         return state
 

@@ -118,6 +118,26 @@ def test_dataloader_shards_partition_each_global_batch():
             )
 
 
+def test_dataloader_sharded_partial_batch_pads_by_wrapping():
+    """drop_last=False with a dataset size that is not a multiple of the
+    batch: under sharding the partial global batch wraps (DistributedSampler
+    convention) so every shard still gets an equal, non-empty slice."""
+    ds = SyntheticDataset(n_items=10, n_feats=20, hop_length=64)
+    collate = BucketedCollate(n_feats=20, statistics=DataStatistics(), hop_length=64,
+                              text_bucket=16, mel_bucket=64)
+    mk = lambda sid: DataLoader(ds, batch_size=4, collate=collate, shuffle=False,
+                                drop_last=False, seed=0, shard_id=sid, num_shards=2)
+    a_batches, b_batches = list(mk(0)), list(mk(1))
+    assert len(a_batches) == len(b_batches) == 3  # 4 + 4 + 2->wrapped to 4
+    for a, b in zip(a_batches, b_batches):
+        assert a["x"].shape == b["x"].shape
+        assert a["x"].shape[0] == 2  # every shard slice full-size, never empty
+    # the wrapped batch duplicates the partial batch's own items, not garbage
+    last = mk(0)._batch_indices()[-1]
+    assert len(last) == 4 and len(set(last)) == 2
+    assert last[:2] == last[2:]  # wrap repeats the partial batch
+
+
 def test_dataloader_state_dict_resumes_mid_epoch():
     ds = SyntheticDataset(n_items=32, n_feats=20, hop_length=64)
     collate = BucketedCollate(n_feats=20, statistics=DataStatistics(), hop_length=64,
