@@ -16,11 +16,60 @@ import jax.numpy as jnp
 from ...ops.stft import stft_magnitude
 
 
+# torch Conv2d reset_parameters: kaiming_uniform(a=sqrt(5)) == uniform with
+# bound 1/sqrt(fan_in) == variance_scaling(1/3, fan_in, uniform). The
+# reference wraps plain Conv2d in weight_norm (g initialised to ||v||), so
+# the effective init kernel IS this kaiming sample — flax's lecun-normal
+# default would start every channel ~sqrt(3) larger. (torch's uniform bias
+# init is approximated by flax's zeros; |bias| <= 1/sqrt(fan_in) is small.)
+_torch_conv_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
 def _wn_conv(features, kernel, strides, padding, name):
     return nn.WeightNorm(
-        nn.Conv(features, kernel, strides=strides, padding=padding),
+        nn.Conv(features, kernel, strides=strides, padding=padding,
+                kernel_init=_torch_conv_kernel_init),
         name=name,
     )
+
+
+def torch_weight_norm_init(params):
+    """Rescale flax WeightNorm scales to torch's init convention.
+
+    torch weight_norm initializes g = ||v|| per output channel, so the
+    effective kernel at init EQUALS the raw kaiming-uniform kernel v
+    (reference _discriminators.py wraps every conv this way). flax
+    nn.WeightNorm initializes the scale to ones — effective kernel v/||v||,
+    i.e. every channel forced to unit norm — which rescales the initial
+    discriminator logits and shifts the from-scratch GAN equilibrium.
+    Call on freshly-initialized discriminator params (imported checkpoints
+    carry their own g and are untouched by init)."""
+
+    def fix(d):
+        out = {k: (fix(v) if isinstance(v, dict) else v) for k, v in d.items()}
+        for wn_name, wn_sub in out.items():
+            if not isinstance(wn_sub, dict):
+                continue
+            for pname, scale in wn_sub.items():
+                # flax WeightNorm scope layout: the scale is ONE param named
+                # "<Layer>/kernel/scale" (literal slashes) under the wrapper's
+                # scope, next to the wrapped layer's raw kernel at
+                # <scope>/<Layer>/kernel
+                if not (isinstance(pname, str) and pname.endswith("/kernel/scale")):
+                    continue
+                layer = pname[: -len("/kernel/scale")]
+                sibling = out.get(layer)
+                if isinstance(sibling, dict) and sibling.get("kernel") is not None:
+                    v = sibling["kernel"]
+                    axes = tuple(range(v.ndim - 1))  # all but out-channels
+                    wn_sub[pname] = jnp.sqrt(
+                        jnp.sum(jnp.square(v), axis=axes)
+                    ).astype(scale.dtype)
+        return out
+
+    return fix(dict(params))
 
 
 class DiscriminatorP(nn.Module):

@@ -42,7 +42,8 @@ class LeanSpeechBlock(nn.Module):
         if padding_mask is not None:
             cx = cx * (~padding_mask)[..., None].astype(cx.dtype)
         x = lx + cx
-        x = nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
+        # torch nn.LayerNorm default eps (reference leanspeech.py final_layer_norm)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")(x)
         if self.drop_path_rate > 0.0 and not deterministic:
             x = drop_path(self.make_rng("dropout"), x, self.drop_path_rate)
         return residual + x

@@ -217,7 +217,10 @@ class OptiSpeech:
         wav_lengths = np.asarray(dec["wav_lengths"])
         v_infer = (time.perf_counter() - v_t0) * 1000
 
-        wav_t = wav.shape[-1] / (self.sample_rate * 1e-3)
+        # RTF over the ACTUAL audio produced, not the bucket-padded buffer —
+        # padding would understate RTF vs the reference's exact-length timing
+        # (generator/__init__.py:285-289)
+        wav_t = int(wav_lengths.max()) / (self.sample_rate * 1e-3)
         am_rtf = am_infer / wav_t
         v_rtf = v_infer / wav_t
         return InferenceOutputs(

@@ -59,8 +59,10 @@ def duration_to_frame_index(durations: jnp.ndarray, n_frames: int) -> jnp.ndarra
     dur = durations.astype(jnp.float32)
     cs = jnp.cumsum(dur, axis=1)
     t = jnp.arange(n_frames, dtype=jnp.float32)[None, :, None]
-    # index = number of tokens fully finished before frame t
-    return jnp.sum(cs[:, None, :] <= t, axis=-1).astype(jnp.int32)
+    # index = number of tokens fully finished before frame t; frames past the
+    # total duration would count every token, so clamp to the last index
+    idx = jnp.sum(cs[:, None, :] <= t, axis=-1).astype(jnp.int32)
+    return jnp.minimum(idx, durations.shape[1] - 1)
 
 
 def average_by_duration(

@@ -63,6 +63,12 @@ def init_train_state(cfg: ExperimentConfig, generator, discriminator, rng) -> Tr
     d_vars = jax.jit(lambda k: discriminator.init(
         k, jnp.zeros((1, seg_wav)), jnp.zeros((1, seg_wav))
     ))(dk)
+    # torch weight_norm init convention: g = ||v||, so the effective kernels
+    # start at their kaiming values (critics.py::torch_weight_norm_init)
+    from ..models.discriminator.critics import torch_weight_norm_init
+
+    d_vars = dict(d_vars)
+    d_vars["params"] = torch_weight_norm_init(d_vars["params"])
     opt = make_optimizer(cfg)
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -35,7 +35,6 @@ def make_train_step(cfg: ExperimentConfig, generator, discriminator, optimizer=N
     doesn't; unit tests that diff old vs new params keep donate=False."""
     opt = optimizer or make_optimizer(cfg)
     hop = cfg.generator.features.hop_length
-    segment_size = cfg.generator.segment_size
     pretraining_steps = cfg.train_args.pretraining_steps
 
     def g_forward(g_params, d_params, batch, rng, train_discriminator):
@@ -48,9 +47,13 @@ def make_train_step(cfg: ExperimentConfig, generator, discriminator, optimizer=N
             deterministic=False, rngs={"dropout": drng, "segment": srng},
         )
         wav_hat = gen_out["wav_hat"]
-        # matching GT waveform segment (reference base_lightning_module.py:38-44)
+        # matching GT waveform segment (reference base_lightning_module.py:38-44);
+        # the generator returns its ACTUAL (t_mel-clamped) segment size — using
+        # cfg.segment_size here would mismatch wav_hat when segment_size exceeds
+        # the mel bucket (reference uses gen_outputs["segment_size"] the same way)
         wav = get_segments(
-            batch["wav"][:, None, :], gen_out["start_idx"] * hop, segment_size * hop
+            batch["wav"][:, None, :],
+            gen_out["start_idx"] * hop, gen_out["segment_size"] * hop,
         )[:, 0, :]
 
         def with_adv(_):
@@ -156,7 +159,6 @@ def make_val_step(cfg: ExperimentConfig, generator, discriminator):
     """Validation forward (reference base_lightning_module.py:195-254, minus
     host-side perceptual metrics which live in training/metrics.py)."""
     hop = cfg.generator.features.hop_length
-    segment_size = cfg.generator.segment_size
 
     @jax.jit
     def val_step(state: TrainState, batch: dict, rng):
@@ -169,7 +171,8 @@ def make_val_step(cfg: ExperimentConfig, generator, discriminator):
             deterministic=True, rngs={"segment": srng},
         )
         wav = get_segments(
-            batch["wav"][:, None, :], gen_out["start_idx"] * hop, segment_size * hop
+            batch["wav"][:, None, :],
+            gen_out["start_idx"] * hop, gen_out["segment_size"] * hop,
         )[:, 0, :]
         val_loss, val_log = discriminator.apply(
             {"params": state.d_params}, wav, gen_out["wav_hat"],

@@ -90,3 +90,47 @@ def test_vocos_discriminator_end_to_end(rng):
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_weight_norm_init_matches_torch_convention(rng):
+    """torch weight_norm inits g = ||v|| so the effective kernel at init is
+    the raw kaiming kernel; flax defaults g to ones (unit-norm channels).
+    init_train_state applies the torch convention to fresh discriminators."""
+    import jax
+
+    from optispeech_tpu.models.discriminator.critics import torch_weight_norm_init
+
+    disc = VocosDiscriminator(
+        DiscriminatorConfig(periods=(2,), resolutions=((256, 64, 256),), mrd_channels=8),
+        FeatureConfig(),
+    )
+    raw = disc.init(jax.random.PRNGKey(0), jnp.zeros((1, 4096)), jnp.zeros((1, 4096)),
+                    method=type(disc).forward_disc)["params"]
+    fixed = torch_weight_norm_init(raw)
+
+    def leaves_with_path(d, path=()):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                yield from leaves_with_path(v, path + (k,))
+            else:
+                yield path + (k,), v
+
+    def get(d, path):
+        for k in path:
+            d = d[k]
+        return d
+
+    checked = 0
+    for path, raw_scale in leaves_with_path(raw):
+        if not path[-1].endswith("/kernel/scale"):
+            continue
+        # scale param "<Layer>/kernel/scale" under (..., wn_name); raw v at
+        # (..., Layer, kernel) in the same scope
+        layer = path[-1][: -len("/kernel/scale")]
+        kernel_path = path[:-2] + (layer, "kernel")
+        v = np.asarray(get(raw, kernel_path))
+        want = np.sqrt((v ** 2).sum(axis=tuple(range(v.ndim - 1))))
+        np.testing.assert_allclose(np.asarray(get(fixed, path)), want, rtol=1e-5)
+        assert (np.asarray(raw_scale) == 1.0).all()  # flax default before fix
+        checked += 1
+    assert checked >= 10  # every weight-normed conv in MPD p2 + MRD r0

@@ -120,3 +120,12 @@ def test_gaussian_upsample_vs_torch(rng):
     got = gaussian_upsample(jnp.asarray(hs), jnp.asarray(ds), jnp.asarray(h_masks), jnp.asarray(d_masks))
     expect = _torch_gaussian_upsample(hs, ds, h_masks, d_masks)
     np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-4, atol=1e-5)
+
+
+def test_duration_to_frame_index_clamps_past_total():
+    from optispeech_tpu.ops import duration_to_frame_index
+
+    idx = np.asarray(duration_to_frame_index(jnp.asarray([[2.0, 3.0]]), 8))
+    # frames 0-1 -> token 0, frames 2-4 -> token 1, frames past the total
+    # duration clamp to the LAST token index (host-side gathers stay in range)
+    np.testing.assert_array_equal(idx[0], [0, 0, 1, 1, 1, 1, 1, 1])

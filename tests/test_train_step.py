@@ -130,3 +130,21 @@ def test_val_step(rng):
     logs, wav, wav_hat = val_fn(state, synth_batch(rng, cfg, b=2), jax.random.PRNGKey(3))
     assert np.isfinite(float(logs["total_loss/val_total"]))
     assert wav.shape == wav_hat.shape
+
+
+def test_train_step_segment_size_exceeding_mel_bucket(rng):
+    """cfg.segment_size > the mel bucket: the generator clamps its segment to
+    t_mel and reports the clamped size; the GT wav crop must follow it
+    (reference uses gen_outputs['segment_size']) or real/fake lengths
+    mismatch in the discriminator."""
+    import dataclasses
+
+    cfg = tiny_experiment(pretraining_steps=0)
+    cfg = dataclasses.replace(
+        cfg, generator=dataclasses.replace(cfg.generator, segment_size=96)
+    )  # mel bucket is 64 -> clamp
+    generator, discriminator, state = _build(cfg)
+    step_fn = make_train_step(cfg, generator, discriminator)
+    new_state, logs = step_fn(state, synth_batch(rng, cfg, b=2))
+    assert np.isfinite(float(logs["total_loss/generator"]))
+    assert np.isfinite(float(logs["total_loss/discriminator"]))
