@@ -54,11 +54,16 @@ def download_model(zoo_url: str, model_id: str, out_dir: str):
             f"(available: {', '.join(sorted(models))})"
         )
     model = models[model_id]
-    dest = Path(out_dir) / model_id
+    dest = (Path(out_dir) / model_id).resolve()
     dest.mkdir(parents=True, exist_ok=True)
     for subpath in model["files"]:
         url = zoo_url + subpath
-        target = dest / Path(subpath).name
+        # preserve the artifact's directory layout; reject index entries that
+        # would escape dest (path traversal via ../ or absolute subpaths)
+        target = (dest / subpath).resolve()
+        if dest != target and dest not in target.parents:
+            raise SystemExit(f"refusing to write outside {dest}: index subpath `{subpath}`")
+        target.parent.mkdir(parents=True, exist_ok=True)
         print(f"downloading {url} -> {target}")
         with urllib.request.urlopen(url, timeout=60) as resp, open(target, "wb") as f:
             while chunk := resp.read(CHUNK):

@@ -65,7 +65,8 @@ def load_model(path: str, bf16: bool = False):
 
 
 class _Pending:
-    __slots__ = ("inputs", "event", "pcm16", "sample_rate", "latency_ms", "error")
+    __slots__ = ("inputs", "event", "pcm16", "sample_rate", "latency_ms", "error",
+                 "truncated")
 
     def __init__(self, inputs):
         self.inputs = inputs  # InferenceInputs (rows = sentences)
@@ -74,6 +75,7 @@ class _Pending:
         self.sample_rate = None
         self.latency_ms = None
         self.error = None
+        self.truncated = False  # frame cap saturated: audio may be incomplete
 
 
 class Batcher:
@@ -189,7 +191,8 @@ class Batcher:
         ), n_real
 
     def _synthesise_batch(self, merged):
-        """Returns (pcm16 rows, per-row sample lengths, latency_ms).
+        """Returns (pcm16 rows, per-row sample lengths, truncated mask,
+        latency_ms).
 
         Live checkpoints go through `synthesise_on_device(pcm16=True)`: ONE
         dispatch, no mid-graph host sync, int16 fetched straight off the
@@ -224,6 +227,15 @@ class Batcher:
                 if (wav_lengths < n_frames * hop).all() or n_frames >= cap:
                     break
                 n_frames = min(n_frames * 2, cap)
+            # rows still filling the cap after the retry loop exits are
+            # truncated — surface it instead of silently shipping a cut wav
+            truncated = wav_lengths >= n_frames * hop
+            if truncated.any():
+                log.warning(
+                    f"frame cap saturated at {n_frames} frames "
+                    f"(cap {cap}): {int(truncated.sum())}/{len(truncated)} "
+                    f"rows truncated"
+                )
             lens = np.asarray(merged.x_lengths, dtype=float)
             ratio = float((wav_lengths / hop / np.maximum(lens, 1)).max()) / d
             self._fpt_seen = ratio if self._fpt_seen is None \
@@ -232,8 +244,9 @@ class Batcher:
         else:
             out = self.model.synthesise(merged)
             wav_lengths = np.asarray(out.wav_lengths)
+            truncated = np.zeros(len(wav_lengths), bool)
             pcm = (np.clip(np.asarray(out.wav), -1, 1) * 32767.0).astype("<i2")
-        return pcm, wav_lengths.astype(int), (time.perf_counter() - t0) * 1e3
+        return pcm, wav_lengths.astype(int), truncated, (time.perf_counter() - t0) * 1e3
 
     def _loop(self):
         while True:
@@ -241,7 +254,7 @@ class Batcher:
             group = self._drain_compatible(first)
             try:
                 merged, n_real = self._merge(group)
-                pcm, wav_lengths, latency_ms = self._synthesise_batch(merged)
+                pcm, wav_lengths, truncated, latency_ms = self._synthesise_batch(merged)
                 i = 0
                 for p in group:
                     n = p.inputs.x.shape[0]
@@ -249,6 +262,7 @@ class Batcher:
                         [pcm[j, : wav_lengths[j]] for j in range(i, i + n)])
                     p.sample_rate = self.model.sample_rate
                     p.latency_ms = latency_ms
+                    p.truncated = bool(truncated[i : i + n].any())
                     i += n
                 self.batches_run += 1
                 self.rows_synthesised += n_real
@@ -417,12 +431,15 @@ def _make_handler_cls(model, batcher, timeout_s, get_streamer):
                     "sample_rate": pending.sample_rate,
                     "pcm16_b64": base64.b64encode(pcm.tobytes()).decode(),
                     "latency_ms": pending.latency_ms,
+                    "truncated": pending.truncated,
                 })
             elif fmt == "pcm16":
                 body = pcm.tobytes()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")
                 self.send_header("X-Sample-Rate", str(pending.sample_rate))
+                if pending.truncated:
+                    self.send_header("X-Truncated", "1")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -430,6 +447,8 @@ def _make_handler_cls(model, batcher, timeout_s, get_streamer):
                 body = _wav_bytes(pcm, pending.sample_rate)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
+                if pending.truncated:
+                    self.send_header("X-Truncated", "1")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)

@@ -79,4 +79,8 @@ def trim_silence_spectral(
     n_chunks = len(probs)
     first = max(0, int(speech[0]) - keep_chunks_before)
     last = min(n_chunks - 1, int(speech[-1]) + keep_chunks_after)
+    if last == n_chunks - 1:
+        # keep the unscored tail remainder (< samples_per_chunk): speech
+        # reaching the final scored chunk likely continues into it
+        return wav[first * samples_per_chunk :]
     return wav[first * samples_per_chunk : (last + 1) * samples_per_chunk]

@@ -61,20 +61,46 @@ class TrainCheckpointManager:
             json.dump({"config": to_dict(cfg)}, f, indent=2)
         if loader_state is not None:
             # data-iterator position (epoch, batch pos) so resume is
-            # step-deterministic (SURVEY.md §5; Lightning's loader state)
-            with open(os.path.join(self.directory, "loader_state.json"), "w") as f:
+            # step-deterministic (SURVEY.md §5; Lightning's loader state).
+            # One file per retained step: resuming from ANY kept checkpoint
+            # (not just the latest) restores its exact iterator position.
+            with open(self._loader_state_path(step), "w") as f:
                 json.dump({"step": step, "loader": loader_state}, f)
         self.manager.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
+        self._prune_loader_states()
+
+    def _loader_state_path(self, step: int) -> str:
+        return os.path.join(self.directory, f"loader_state-{step}.json")
+
+    def _prune_loader_states(self):
+        kept = set(self.manager.all_steps())
+        for name in os.listdir(self.directory):
+            if name.startswith("loader_state-") and name.endswith(".json"):
+                try:
+                    step = int(name[len("loader_state-"):-len(".json")])
+                except ValueError:
+                    continue
+                if step not in kept:
+                    try:
+                        os.remove(os.path.join(self.directory, name))
+                    except OSError:
+                        pass
 
     def loader_state(self, step: int) -> dict | None:
-        """The data-iterator state saved alongside checkpoint `step` (only the
-        latest save's state is kept; None if it belongs to another step)."""
-        path = os.path.join(self.directory, "loader_state.json")
+        """The data-iterator state saved alongside checkpoint `step` (None if
+        that save carried no loader state)."""
+        path = self._loader_state_path(step)
         if not os.path.exists(path):
-            return None
+            # pre-round-3 layout: single loader_state.json for the latest save
+            legacy = os.path.join(self.directory, "loader_state.json")
+            if not os.path.exists(legacy):
+                return None
+            with open(legacy) as f:
+                meta = json.load(f)
+            return meta["loader"] if meta.get("step") == step else None
         with open(path) as f:
             meta = json.load(f)
-        return meta["loader"] if meta.get("step") == step else None
+        return meta["loader"]
 
     def latest_step(self):
         return self.manager.latest_step()

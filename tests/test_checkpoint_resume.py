@@ -47,3 +47,22 @@ def test_train_state_save_restore_continue(tmp_path, rng):
     np.testing.assert_allclose(
         float(logs_a["total_loss/generator"]), float(logs_b["total_loss/generator"]), rtol=1e-5
     )
+
+
+def test_loader_state_retained_per_step(tmp_path, rng):
+    """Every KEPT checkpoint resumes with its own data-iterator state (not
+    just the latest save), and pruned steps drop theirs (ADVICE r2)."""
+    cfg = dataclasses.replace(tiny_experiment(pretraining_steps=0), ckpt_keep=2)
+    generator = OptiSpeechGenerator(cfg.generator)
+    discriminator = VocosDiscriminator(cfg.discriminator, cfg.generator.features)
+    state = init_train_state(cfg, generator, discriminator, jax.random.PRNGKey(0))
+
+    mgr = TrainCheckpointManager(str(tmp_path / "ck"), keep=2)
+    for step in (1, 2, 3):
+        mgr.save(step, state, cfg, loader_state={"epoch": step, "pos": step * 10})
+        mgr.wait()
+
+    # keep=2: steps 2 and 3 retained, each with its own loader state
+    assert mgr.loader_state(2) == {"epoch": 2, "pos": 20}
+    assert mgr.loader_state(3) == {"epoch": 3, "pos": 30}
+    assert mgr.loader_state(1) is None  # pruned along with checkpoint 1

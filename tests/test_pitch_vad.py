@@ -154,6 +154,21 @@ def test_vad_probabilities_separate_speech_from_noise():
     assert np.median(noise_probs) < 0.1
 
 
+def test_vad_keeps_unscored_tail_remainder():
+    """Speech running into the final partial chunk keeps the tail remainder
+    (< samples_per_chunk, never scored by the chunk VAD)."""
+    chunk = 480
+    lead = np.zeros(chunk * 10, np.float32)
+    speech = harmonic_tone(140.0, 1.0)
+    wav = np.concatenate([lead, speech])
+    remainder = 137  # partial final chunk, still inside the speech tone
+    wav = wav[: (len(wav) - remainder) // chunk * chunk + remainder]
+    out = trim_silence_spectral(wav, SR, samples_per_chunk=chunk,
+                                keep_chunks_before=1, keep_chunks_after=1)
+    # trailing remainder retained: output ends exactly at the input's end
+    assert np.array_equal(out[-remainder:], wav[-remainder:])
+
+
 def test_vad_no_speech_returns_untrimmed():
     rng = np.random.default_rng(5)
     wav = (rng.normal(size=SR) * 0.01).astype(np.float32)

@@ -30,8 +30,10 @@ def test_zoo_list_and_download(tmp_path, capsys):
     assert "en-tiny-demo" in capsys.readouterr().out
 
     dest = download_model(url, "en-tiny-demo", str(tmp_path / "dl"))
-    assert (tmp_path / "dl" / "en-tiny-demo" / "params.pkl").read_bytes() == b"weights"
-    assert (tmp_path / "dl" / "en-tiny-demo" / "metadata.json").exists()
+    # nested artifact layouts are reproduced, not flattened to basenames
+    root = tmp_path / "dl" / "en-tiny-demo"
+    assert (root / "en" / "tiny" / "params.pkl").read_bytes() == b"weights"
+    assert (root / "en" / "tiny" / "metadata.json").exists()
     assert dest.endswith("en-tiny-demo")
 
 
@@ -39,6 +41,17 @@ def test_zoo_unknown_model_errors(tmp_path):
     url = _make_zoo(tmp_path)
     with pytest.raises(SystemExit, match="unknown model id"):
         download_model(url, "nope", str(tmp_path / "dl"))
+
+
+def test_zoo_rejects_path_traversal(tmp_path):
+    zoo = tmp_path / "zoo"
+    zoo.mkdir()
+    (zoo / "models.json").write_text(json.dumps({
+        "models": [{"id": "evil", "files": ["../../escape.bin"]}],
+    }))
+    with pytest.raises(SystemExit, match="outside"):
+        download_model(zoo.as_uri() + "/", "evil", str(tmp_path / "dl"))
+    assert not (tmp_path / "escape.bin").exists()
 
 
 def test_gradio_ui_gated():
