@@ -33,6 +33,8 @@ def main(argv=None):
     feature_extractor = FeatureExtractor(
         features=cfg.generator.features,
         preemphasis_filter_coef=pp.preemphasis_filter_coef,
+        lowpass_freq=pp.lowpass_freq,
+        highpass_freq=pp.highpass_freq,
         loudness_norm_target_db=pp.loudness_norm_target_db,
         trim_silence=pp.trim_silence,
         trim_silence_args=dict(

@@ -230,6 +230,10 @@ class PreprocessConfig:
     (reference configs/data/feature_extractor/default.yaml:15-24)."""
 
     preemphasis_filter_coef: Optional[float] = None
+    # band-limit biquads applied after preemphasis (reference
+    # feature_extractors/__init__.py:88-95, default.yaml:17-18)
+    lowpass_freq: Optional[float] = None
+    highpass_freq: Optional[float] = None
     loudness_norm_target_db: Optional[float] = -24.0
     # pitch tracker registry name (data/pitch.py): ensemble | autocorr | yin
     pitch_extractor: str = "ensemble"
@@ -288,6 +292,10 @@ class ExperimentConfig:
     # optional wandb sink (reference configs/logger/wandb.yaml); CSV + JSONL
     # (+ TensorBoard when installed) are always on
     wandb_project: Optional[str] = None
+    # additional named metric sinks from training/loggers.py's registry
+    # (reference configs/logger/*.yaml: tensorboard/wandb/mlflow/neptune/
+    # comet/aim); each is import-gated — missing packages warn and skip
+    loggers: Tuple[str, ...] = ()
 
 
 # ---------------------------------------------------------------------------

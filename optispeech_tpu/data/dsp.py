@@ -190,6 +190,42 @@ def normalize_loudness(wav: np.ndarray, sample_rate: int, target_db: float = -24
     return (wav * gain).astype(np.float32)
 
 
+def _rbj_biquad_coeffs(sample_rate: float, cutoff_freq: float, q: float, kind: str):
+    """Audio-EQ-cookbook (RBJ) biquad coefficients — the same filter
+    torchaudio.functional.{lowpass,highpass}_biquad computes (the reference's
+    band-limit knobs, feature_extractors/__init__.py:88-95)."""
+    w0 = 2.0 * np.pi * cutoff_freq / sample_rate
+    alpha = np.sin(w0) / (2.0 * q)
+    cosw = np.cos(w0)
+    if kind == "lowpass":
+        b = np.array([(1 - cosw) / 2.0, 1 - cosw, (1 - cosw) / 2.0])
+    elif kind == "highpass":
+        b = np.array([(1 + cosw) / 2.0, -(1 + cosw), (1 + cosw) / 2.0])
+    else:
+        raise ValueError(f"unknown biquad kind {kind}")
+    a = np.array([1 + alpha, -2 * cosw, 1 - alpha])
+    return b / a[0], a / a[0]
+
+
+def lowpass_biquad(wav: np.ndarray, sample_rate: int, cutoff_freq: float,
+                   q: float = 0.707) -> np.ndarray:
+    """Single-pole-pair Butterworth-style low-pass (torchaudio
+    lowpass_biquad semantics: one RBJ biquad, default Q=0.707)."""
+    from scipy.signal import lfilter
+
+    b, a = _rbj_biquad_coeffs(sample_rate, cutoff_freq, q, "lowpass")
+    return lfilter(b, a, wav.astype(np.float64)).astype(np.float32)
+
+
+def highpass_biquad(wav: np.ndarray, sample_rate: int, cutoff_freq: float,
+                    q: float = 0.707) -> np.ndarray:
+    """RBJ high-pass biquad (torchaudio highpass_biquad semantics)."""
+    from scipy.signal import lfilter
+
+    b, a = _rbj_biquad_coeffs(sample_rate, cutoff_freq, q, "highpass")
+    return lfilter(b, a, wav.astype(np.float64)).astype(np.float32)
+
+
 def peak_normalize(wav: np.ndarray) -> np.ndarray:
     """librosa.util.normalize equivalent (max |x| -> 1)."""
     peak = np.max(np.abs(wav))

@@ -34,6 +34,10 @@ class FeatureExtractor:
     features: FeatureConfig
     loudness_norm_target_db: Optional[float] = -24.0
     preemphasis_filter_coef: Optional[float] = None
+    # band-limit biquads (reference feature_extractors/__init__.py:88-95:
+    # torchaudio lowpass_biquad/highpass_biquad, applied after preemphasis)
+    lowpass_freq: Optional[float] = None
+    highpass_freq: Optional[float] = None
     trim_silence: bool = False
     trim_silence_args: Optional[dict] = None
     # registry name ("ensemble"/"autocorr"/"yin", data/pitch.py) or an extractor
@@ -65,6 +69,10 @@ class FeatureExtractor:
                 wav = dsp.trim_silence_energy(wav, f.sample_rate, **args)
         if self.preemphasis_filter_coef is not None:
             wav = np.append(wav[0], wav[1:] - self.preemphasis_filter_coef * wav[:-1]).astype(np.float32)
+        if self.lowpass_freq is not None:
+            wav = dsp.lowpass_biquad(wav, f.sample_rate, self.lowpass_freq)
+        if self.highpass_freq is not None:
+            wav = dsp.highpass_biquad(wav, f.sample_rate, self.highpass_freq)
         if self.loudness_norm_target_db is not None:
             wav = dsp.normalize_loudness(wav, f.sample_rate, self.loudness_norm_target_db)
         wav = dsp.peak_normalize(wav)

@@ -39,6 +39,10 @@ def test_yaml_config_layering(tmp_path):
     assert light.generator.encoder.kind == "lightspeech"
     assert light.generator.duration_predictor.separable
     assert light.optimizer.lr == cfg.optimizer.lr  # inherited from base
+    mike = load_experiment("mike")
+    assert mike.data.preprocess.preemphasis_filter_coef == 0.5
+    assert mike.data.statistics.pitch_mean == 113.678925
+
     over = load_experiment("default", overrides=["generator.dim=64", "data.batch_size=4"])
     assert over.generator.dim == 64 and over.data.batch_size == 4
 

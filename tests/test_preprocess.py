@@ -60,6 +60,71 @@ def test_trim_silence_energy():
     assert len(trimmed) >= sr  # kept the tone
 
 
+def test_biquad_filters_frequency_response():
+    """RBJ low/high-pass biquads (torchaudio lowpass_biquad/highpass_biquad
+    semantics, Q=0.707): -3 dB at cutoff, passband preserved, stopband
+    attenuated (reference feature_extractors/__init__.py:88-95)."""
+    sr = 24000
+
+    def tone(f, dur=0.5):
+        return np.sin(2 * np.pi * f * np.arange(int(sr * dur)) / sr).astype(np.float32)
+
+    def rms(x):
+        return float(np.sqrt(np.mean(x[len(x) // 4:] ** 2)))  # skip transient
+
+    lp = lambda f: rms(dsp.lowpass_biquad(tone(f), sr, 2000.0)) / rms(tone(f))
+    assert lp(200.0) > 0.95          # passband
+    assert abs(lp(2000.0) - 0.707) < 0.05  # -3 dB at cutoff
+    assert lp(8000.0) < 0.1          # stopband (-12 dB/oct, 2 octaves)
+
+    hp = lambda f: rms(dsp.highpass_biquad(tone(f), sr, 2000.0)) / rms(tone(f))
+    assert hp(8000.0) > 0.95
+    assert abs(hp(2000.0) - 0.707) < 0.05
+    assert hp(500.0) < 0.15
+
+
+def test_biquad_matches_difference_equation():
+    """lfilter path == direct-form-I oracle of the RBJ coefficients."""
+    rng = np.random.default_rng(7)
+    wav = rng.normal(size=400).astype(np.float32)
+    sr, fc = 24000, 3000.0
+    out = dsp.lowpass_biquad(wav, sr, fc)
+    b, a = dsp._rbj_biquad_coeffs(sr, fc, 0.707, "lowpass")
+    y = np.zeros(len(wav))
+    x = wav.astype(np.float64)
+    for n in range(len(wav)):
+        y[n] = b[0] * x[n] + b[1] * (x[n - 1] if n >= 1 else 0) \
+            + b[2] * (x[n - 2] if n >= 2 else 0) \
+            - a[1] * (y[n - 1] if n >= 1 else 0) - a[2] * (y[n - 2] if n >= 2 else 0)
+    np.testing.assert_allclose(out, y, atol=1e-5)
+
+
+def test_feature_extractor_applies_band_filters(tmp_path):
+    """lowpass_freq knob removes high-frequency content from the mel."""
+    from optispeech_tpu.data.preprocess import FeatureExtractor
+    from optispeech_tpu.config import FeatureConfig
+
+    sr = 24000
+    t = np.arange(sr) / sr
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)
+           + 0.4 * np.sin(2 * np.pi * 7000 * t)).astype(np.float32)
+    path = str(tmp_path / "x.wav")
+    save_wav(path, wav, sr)
+    feats = FeatureConfig(sample_rate=sr, n_feats=80, f_min=0.0, f_max=12000.0)
+    plain = FeatureExtractor(features=feats, loudness_norm_target_db=None,
+                             pitch_extractor="autocorr")
+    filtered = FeatureExtractor(features=feats, loudness_norm_target_db=None,
+                                lowpass_freq=2000.0, pitch_extractor="autocorr")
+    _, mel_a, _, _ = plain(path)
+    _, mel_b, _, _ = filtered(path)
+    # peak re-normalization shifts absolute levels, so compare the 7 kHz tone
+    # peak RELATIVE to the 220 Hz passband peak: the contrast must collapse
+    prof_a, prof_b = mel_a.mean(axis=1), mel_b.mean(axis=1)
+    contrast_a = prof_a[55:75].max() - prof_a[:20].max()
+    contrast_b = prof_b[55:75].max() - prof_b[:20].max()
+    assert contrast_b < contrast_a - 2.0
+
+
 def test_wav_io_roundtrip(tmp_path, rng):
     wav = (rng.normal(size=12000) * 0.3).clip(-1, 1).astype(np.float32)
     path = str(tmp_path / "x.wav")

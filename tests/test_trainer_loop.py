@@ -52,6 +52,50 @@ def test_trainer_fit_val_ckpt_and_resume(tmp_path):
     assert api.cfg.generator.dim == cfg.generator.dim
 
 
+def test_forced_resume_restores_g_and_d_with_fresh_optimizers(tmp_path):
+    """`--forced-resume` from a TRAIN checkpoint loads generator AND
+    discriminator weights but restarts optimizers/step at zero (reference
+    train.py:82-87: whole-module state_dict, ckpt_path=None afterwards)."""
+    import jax
+
+    cfg = tiny_experiment(pretraining_steps=0)
+    cfg = dataclasses.replace(
+        cfg, log_every_n_steps=100, val_every_n_steps=1000, ckpt_every_n_steps=100,
+        num_devices=4,
+    )
+    feats = cfg.generator.features
+    ds = SyntheticDataset(n_items=8, n_feats=feats.n_feats, hop_length=feats.hop_length,
+                          text_range=(8, 16), mel_range=(32, 64))
+    collate = BucketedCollate(
+        n_feats=feats.n_feats, statistics=cfg.data.statistics, hop_length=feats.hop_length,
+        text_bucket=cfg.data.text_bucket_size, mel_bucket=cfg.data.mel_bucket_size,
+        max_text_len=cfg.data.text_bucket_size, max_mel_len=cfg.data.mel_bucket_size,
+    )
+    trainer = Trainer(cfg, out_dir=str(tmp_path / "run"))
+    state = trainer.fit(DataLoader(ds, 4, collate, shuffle=True), None, max_steps=2)
+    ckpt_dir = os.path.join(str(tmp_path / "run"), cfg.ckpt_dir)
+
+    trainer2 = Trainer(cfg, out_dir=str(tmp_path / "run2"))
+    resumed = trainer2.init_or_restore_state(forced_resume_from=ckpt_dir)
+    assert int(np.asarray(resumed.step)) == 0  # fresh counter -> pretraining restarts
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state.g_params)),
+        jax.tree_util.tree_leaves(jax.device_get(resumed.g_params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state.d_params)),
+        jax.tree_util.tree_leaves(jax.device_get(resumed.d_params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizers are fresh: Adam moments are all-zero
+    moments = [
+        np.abs(np.asarray(x)).sum()
+        for x in jax.tree_util.tree_leaves(jax.device_get(resumed.g_opt_state))
+    ]
+    assert sum(moments) == 0.0
+
+
 def test_resume_matches_uninterrupted_run(tmp_path):
     """Step-deterministic resume (VERDICT r1 item 8): train 2 steps, restart
     from the checkpoint with a FRESH loader, train 2 more — the final params
