@@ -36,6 +36,11 @@ def make_train_step(cfg: ExperimentConfig, generator, discriminator, optimizer=N
     opt = optimizer or make_optimizer(cfg)
     hop = cfg.generator.features.hop_length
     pretraining_steps = cfg.train_args.pretraining_steps
+    # `state.step` counts micro-batches; `pretraining_steps` counts OPTIMIZER
+    # steps (the reference gates on Lightning's global_step, which advances
+    # once per accumulation window — base_lightning_module.py:124-126,295-303).
+    # With gradient_accumulate_batches=k the gate must last k× micro-batches.
+    accum = cfg.train_args.gradient_accumulate_batches or 1
 
     def g_forward(g_params, d_params, batch, rng, train_discriminator):
         drng, srng = jax.random.split(rng)
@@ -90,7 +95,7 @@ def make_train_step(cfg: ExperimentConfig, generator, discriminator, optimizer=N
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch: dict):
         rng, g_rng = jax.random.split(state.rng)
-        train_disc = state.step >= pretraining_steps
+        train_disc = state.step // accum >= pretraining_steps
 
         # ---- generator update --------------------------------------------
         (g_loss, aux), g_grads = jax.value_and_grad(g_forward, has_aux=True)(

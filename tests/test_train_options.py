@@ -38,6 +38,32 @@ def test_gradient_accumulation_applies_every_k_steps(rng):
     assert _delta(state2.g_params, state0.g_params) > 0.0
 
 
+def test_pretraining_gate_counts_optimizer_steps_under_accumulation(rng):
+    """`pretraining_steps` is measured in OPTIMIZER steps (Lightning
+    global_step semantics): with gradient_accumulate_batches=2 and
+    pretraining_steps=1 the discriminator must stay frozen for TWO
+    micro-batches and train on the third (reference
+    base_lightning_module.py:124-126,295-303)."""
+    cfg = tiny_experiment(pretraining_steps=1)
+    cfg = dataclasses.replace(
+        cfg, train_args=dataclasses.replace(cfg.train_args, gradient_accumulate_batches=2)
+    )
+    generator = OptiSpeechGenerator(cfg.generator)
+    discriminator = VocosDiscriminator(cfg.discriminator, cfg.generator.features)
+    state = init_train_state(cfg, generator, discriminator, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, generator, discriminator)
+    batch = synth_batch(rng, cfg, b=4)
+
+    d0 = state.d_params
+    state, logs = step_fn(state, batch)   # micro 1 (opt step 0): D frozen
+    assert float(logs["total_loss/discriminator"]) == 0.0
+    state, logs = step_fn(state, batch)   # micro 2 (still opt step 0): D frozen
+    assert float(logs["total_loss/discriminator"]) == 0.0
+    assert _delta(state.d_params, d0) == 0.0
+    state, logs = step_fn(state, batch)   # micro 3 (opt step 1 >= 1): D trains
+    assert float(logs["total_loss/discriminator"]) != 0.0
+
+
 def test_uncached_generator_outputs_path(rng):
     cfg = tiny_experiment(pretraining_steps=0)
     cfg = dataclasses.replace(
