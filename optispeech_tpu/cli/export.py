@@ -13,6 +13,10 @@ def main(argv=None):
     p.add_argument("output_dir")
     p.add_argument("--text-buckets", default="32,64,128")
     p.add_argument("--frames-per-token", type=int, default=12)
+    p.add_argument("--batch-sizes", default="1,2,4,8",
+                   help="power-of-two batch rung ladder for serving coalescing")
+    p.add_argument("--stream-chunk-frames", type=int, default=256,
+                   help="frames per /stream window (0 skips stream graphs)")
     args = p.parse_args(argv)
 
     from ..export.exporter import export_model
@@ -23,6 +27,8 @@ def main(argv=None):
         model, args.output_dir,
         text_buckets=[int(b) for b in args.text_buckets.split(",")],
         frames_per_token=args.frames_per_token,
+        batch_sizes=[int(b) for b in args.batch_sizes.split(",")],
+        stream_chunk_frames=args.stream_chunk_frames or None,
     )
 
 

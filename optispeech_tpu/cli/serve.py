@@ -19,7 +19,8 @@ Endpoints:
     POST /stream             same body (no "format") -> chunked-transfer raw
       int16 PCM: audio starts flowing while later frames are still being
       decoded (models/streaming.py chunked pipeline; time-to-first-audio is
-      one chunk, not the whole utterance). Live checkpoints only — exported
+      one chunk, not the whole utterance). Works for live checkpoints AND
+      artifacts exported with stream graphs; stream-graph-less (round-2)
       artifacts answer 501.
 
 Batching contract: d/p/e factors are whole-batch scalars in the compiled
@@ -39,6 +40,7 @@ import os
 import queue
 import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -85,7 +87,7 @@ class Batcher:
     co-batchees once the batcher is idle."""
 
     def __init__(self, model, max_batch: int = 32, wait_ms: float = 20.0,
-                 frames_per_token: int = 8):
+                 frames_per_token: int = 8, max_pending: int = 256):
         self.model = model
         self.max_batch = max_batch
         self.wait_ms = wait_ms
@@ -93,8 +95,15 @@ class Batcher:
         # adaptive frame cap: start at frames_per_token, then track the
         # observed frames/token ratio so the fixed-shape graph (and its
         # device->host transfer) stops over-allocating. 25% headroom; an
-        # underestimate just retries with a doubled cap.
-        self._fpt_seen = None
+        # underestimate just retries with a doubled cap. A bounded window
+        # (not a monotonic max) so one long-duration outlier stops inflating
+        # every later batch once it ages out.
+        self._fpt_window: deque = deque(maxlen=64)
+        # backpressure: bound total queued+deferred work; overflow -> 429
+        self.max_pending = max_pending
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
+        self.requests_rejected = 0
         self.q: "queue.Queue[_Pending]" = queue.Queue()
         self._deferred: list = []  # factor-incompatible requests, oldest first
         self.requests_served = 0
@@ -103,8 +112,15 @@ class Batcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, pending: _Pending):
+    def submit(self, pending: _Pending) -> bool:
+        """False = at capacity (caller should answer 429)."""
+        with self._inflight_lock:
+            if self._inflight >= self.max_pending:
+                self.requests_rejected += 1
+                return False
+            self._inflight += 1
         self.q.put(pending)
+        return True
 
     # -- internals ------------------------------------------------------
     @staticmethod
@@ -217,8 +233,8 @@ class Batcher:
             # cap-doubling retry forever. Tracked per unit d_factor so a
             # d=2.0 batch doesn't permanently inflate default-rate batches.
             d = float(merged.d_factor) or 1.0
-            fpt = self.frames_per_token if self._fpt_seen is None \
-                else self._fpt_seen * 1.25 * d
+            fpt = self.frames_per_token if not self._fpt_window \
+                else max(self._fpt_window) * 1.25 * d
             n_frames = round_up_to_bucket(max(int(t * fpt), bucket), bucket)
             n_frames = min(n_frames, cap)
             while True:
@@ -238,8 +254,7 @@ class Batcher:
                 )
             lens = np.asarray(merged.x_lengths, dtype=float)
             ratio = float((wav_lengths / hop / np.maximum(lens, 1)).max()) / d
-            self._fpt_seen = ratio if self._fpt_seen is None \
-                else max(self._fpt_seen, ratio)
+            self._fpt_window.append(ratio)
             pcm = np.asarray(out["wav_pcm16"])
         else:
             out = self.model.synthesise(merged)
@@ -272,6 +287,8 @@ class Batcher:
                 for p in group:
                     p.error = str(e)
             finally:
+                with self._inflight_lock:
+                    self._inflight -= len(group)
                 for p in group:
                     p.event.set()
 
@@ -290,16 +307,22 @@ def make_handler(model, batcher: Batcher, timeout_s: float = 300.0,
     streamer_lock = threading.Lock()
 
     def get_streamer():
-        if not hasattr(model, "generator"):
-            return None  # exported artifacts replay frozen graphs; no chunk fn
         with streamer_lock:
             if not streamer_box:
-                from ..models.streaming import DEFAULT_OVERLAP, StreamingSynthesiser
+                if hasattr(model, "generator"):
+                    from ..models.streaming import DEFAULT_OVERLAP, StreamingSynthesiser
 
-                streamer_box.append(StreamingSynthesiser(
-                    model, chunk_frames=stream_chunk_frames,
-                    overlap=DEFAULT_OVERLAP if stream_overlap is None else stream_overlap,
-                ))
+                    streamer_box.append(StreamingSynthesiser(
+                        model, chunk_frames=stream_chunk_frames,
+                        overlap=DEFAULT_OVERLAP if stream_overlap is None else stream_overlap,
+                    ))
+                elif getattr(model, "stream_meta", None):
+                    # artifact exported with stream graphs (round-3+)
+                    from ..export.exporter import ExportedStreamingSynthesiser
+
+                    streamer_box.append(ExportedStreamingSynthesiser(model))
+                else:
+                    return None  # round-2 artifact without stream graphs
         return streamer_box[0]
 
     return _make_handler_cls(model, batcher, timeout_s, get_streamer)
@@ -327,6 +350,7 @@ def _make_handler_cls(model, batcher, timeout_s, get_streamer):
                     "requests_served": batcher.requests_served,
                     "batches_run": batcher.batches_run,
                     "rows_synthesised": batcher.rows_synthesised,
+                    "requests_rejected": batcher.requests_rejected,
                 })
             elif self.path == "/info":
                 self._json(200, {
@@ -345,8 +369,8 @@ def _make_handler_cls(model, batcher, timeout_s, get_streamer):
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
             if self.path == "/stream" and get_streamer() is None:
-                self._json(501, {"error": "streaming needs a live checkpoint "
-                                          "(exported artifacts replay frozen graphs)"})
+                self._json(501, {"error": "this artifact has no stream graphs; "
+                                          "re-export with stream_chunk_frames set"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
@@ -378,7 +402,15 @@ def _make_handler_cls(model, batcher, timeout_s, get_streamer):
                 return
 
             pending = _Pending(inputs.as_numpy())
-            batcher.submit(pending)
+            if not batcher.submit(pending):
+                self.send_response(429)
+                body = json.dumps({"error": "server at capacity; retry later"}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if not pending.event.wait(timeout_s):
                 self._json(503, {"error": "synthesis timed out"})
                 return
@@ -469,8 +501,9 @@ def _lang_kw(model, language):
 def serve(model, host: str = "0.0.0.0", port: int = 8000,
           max_batch: int = 32, batch_wait_ms: float = 20.0,
           stream_chunk_frames: int = 256, stream_overlap: int | None = None,
-          request_timeout_s: float = 300.0):
-    batcher = Batcher(model, max_batch=max_batch, wait_ms=batch_wait_ms)
+          request_timeout_s: float = 300.0, max_pending: int = 256):
+    batcher = Batcher(model, max_batch=max_batch, wait_ms=batch_wait_ms,
+                      max_pending=max_pending)
     handler = make_handler(model, batcher, timeout_s=request_timeout_s,
                            stream_chunk_frames=stream_chunk_frames,
                            stream_overlap=stream_overlap)
@@ -493,6 +526,8 @@ def main(argv=None):
                    help="frames per /stream window")
     p.add_argument("--request-timeout", type=float, default=300.0,
                    help="per-request wait on the batcher (first calls compile)")
+    p.add_argument("--max-pending", type=int, default=256,
+                   help="queued-request bound; overflow answers 429")
     args = p.parse_args(argv)
 
     # persistent compile cache: new batch shapes jit-compile on first use
@@ -508,7 +543,8 @@ def main(argv=None):
     model = load_model(args.model, bf16=args.bf16)
     httpd = serve(model, args.host, args.port, args.max_batch, args.batch_wait_ms,
                   stream_chunk_frames=args.stream_chunk_frames,
-                  request_timeout_s=args.request_timeout)
+                  request_timeout_s=args.request_timeout,
+                  max_pending=args.max_pending)
     log.info(f"Serving on http://{args.host}:{args.port} "
              f"(max_batch={args.max_batch}, wait={args.batch_wait_ms} ms)")
     try:

@@ -38,8 +38,19 @@ def export_model(
     text_buckets: Sequence[int] = (32, 64, 128),
     frames_per_token: int = 12,
     mel_buckets: Sequence[int] | None = None,
+    batch_sizes: Sequence[int] = (1, 2, 4, 8),
+    stream_chunk_frames: int | None = 256,
+    stream_overlap: int = 48,
 ):
-    """Serialize the two-stage inference graph for the given bucket ladder."""
+    """Serialize the two-stage inference graph for the given bucket ladders.
+
+    `batch_sizes` exports a power-of-two BATCH ladder per text bucket so the
+    serving batcher's coalescing works against artifacts exactly like against
+    live checkpoints (the reference serves its deployable ONNX artifact as the
+    primary runtime, onnx/infer.py:24-145; its dynamic-batch ONNX graphs are
+    mirrored here by the static rung ladder). `stream_chunk_frames` also
+    exports the chunked decode pipeline (upsample + windowed decoder+vocoder)
+    used by `/stream`; None skips it."""
     from ..models.generator import OptiSpeechGenerator
 
     os.makedirs(output_dir, exist_ok=True)
@@ -53,48 +64,61 @@ def export_model(
     # (/root/reference/optispeech/onnx/export.py:56-66)
     has_spk_inputs = (model.cfg.generator.num_speakers > 1
                       or model.cfg.generator.num_languages > 1)
+    batch_sizes = sorted(set(int(b) for b in batch_sizes))
     for tb in text_buckets:
-        if has_spk_inputs:
-            def encode_fn(params, x, x_lengths, sids, lids, d, p, e):
-                return gen.apply({"params": params}, x, x_lengths, sids, lids, d, p, e,
-                                 method=OptiSpeechGenerator.encode)
-
-            id_inputs = (
-                jax.ShapeDtypeStruct((1,), jnp.int32),  # sids
-                jax.ShapeDtypeStruct((1,), jnp.int32),  # lids
-            )
-        else:
-            def encode_fn(params, x, x_lengths, d, p, e):
-                return gen.apply({"params": params}, x, x_lengths, None, None, d, p, e,
-                                 method=OptiSpeechGenerator.encode)
-
-            id_inputs = ()
-
-        args = (
-            params,
-            jax.ShapeDtypeStruct((1, tb), jnp.int32),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
-            *id_inputs,
-            jax.ShapeDtypeStruct((), jnp.float32),
-            jax.ShapeDtypeStruct((), jnp.float32),
-            jax.ShapeDtypeStruct((), jnp.float32),
-        )
-        exports[f"encode_{tb}"] = jexport.export(jax.jit(encode_fn))(*args).serialize()
-
         mels = mel_buckets or [round_up_to_bucket(tb * frames_per_token, mel_bucket_size)]
-        for mb in mels:
-            def decode_fn(params, hidden, durations, x_mask, y_lengths):
-                return gen.apply({"params": params}, hidden, durations, x_mask,
-                                 y_lengths, mb, method=OptiSpeechGenerator.decode)
+        for nb in batch_sizes:
+            if has_spk_inputs:
+                def encode_fn(params, x, x_lengths, sids, lids, d, p, e):
+                    return gen.apply({"params": params}, x, x_lengths, sids, lids, d, p, e,
+                                     method=OptiSpeechGenerator.encode)
 
-            dargs = (
+                id_inputs = (
+                    jax.ShapeDtypeStruct((nb,), jnp.int32),  # sids
+                    jax.ShapeDtypeStruct((nb,), jnp.int32),  # lids
+                )
+            else:
+                def encode_fn(params, x, x_lengths, d, p, e):
+                    return gen.apply({"params": params}, x, x_lengths, None, None, d, p, e,
+                                     method=OptiSpeechGenerator.encode)
+
+                id_inputs = ()
+
+            args = (
                 params,
-                jax.ShapeDtypeStruct((1, tb, model.cfg.generator.dim), jnp.float32),
-                jax.ShapeDtypeStruct((1, tb), jnp.int32),
-                jax.ShapeDtypeStruct((1, tb), jnp.bool_),
-                jax.ShapeDtypeStruct((1,), jnp.int32),
+                jax.ShapeDtypeStruct((nb, tb), jnp.int32),
+                jax.ShapeDtypeStruct((nb,), jnp.int32),
+                *id_inputs,
+                jax.ShapeDtypeStruct((), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.float32),
             )
-            exports[f"decode_{tb}_{mb}"] = jexport.export(jax.jit(decode_fn))(*dargs).serialize()
+            # batch-1 keeps the round-2 key (`encode_{tb}`) so old runtimes
+            # keep working; rungs >1 append the batch suffix
+            ek = f"encode_{tb}" if nb == 1 else f"encode_{tb}_b{nb}"
+            exports[ek] = jexport.export(jax.jit(encode_fn))(*args).serialize()
+
+            for mb in mels:
+                def decode_fn(params, hidden, durations, x_mask, y_lengths):
+                    return gen.apply({"params": params}, hidden, durations, x_mask,
+                                     y_lengths, mb, method=OptiSpeechGenerator.decode)
+
+                dargs = (
+                    params,
+                    jax.ShapeDtypeStruct((nb, tb, model.cfg.generator.dim), jnp.float32),
+                    jax.ShapeDtypeStruct((nb, tb), jnp.int32),
+                    jax.ShapeDtypeStruct((nb, tb), jnp.bool_),
+                    jax.ShapeDtypeStruct((nb,), jnp.int32),
+                )
+                dk = (f"decode_{tb}_{mb}" if nb == 1 else f"decode_{tb}_{mb}_b{nb}")
+                exports[dk] = jexport.export(jax.jit(decode_fn))(*dargs).serialize()
+
+    stream_meta = None
+    if stream_chunk_frames:
+        stream_meta = _export_stream_graphs(
+            exports, model, text_buckets, frames_per_token,
+            stream_chunk_frames, stream_overlap, has_spk_inputs,
+        )
 
     with open(os.path.join(output_dir, "graphs.pkl"), "wb") as f:
         pickle.dump(exports, f)
@@ -116,13 +140,86 @@ def export_model(
             "num_languages": model.cfg.generator.num_languages,
             "has_speaker_inputs": has_spk_inputs,
         },
-        "buckets": sorted({int(k.split("_")[1]) for k in exports if k.startswith("encode")}),
+        "buckets": sorted({
+            int(k.split("_")[1]) for k in exports if k.startswith("encode")
+        }),
+        "batch_sizes": batch_sizes,
+        "stream": stream_meta,
         "config": to_dict(model.cfg),
     }
     with open(os.path.join(output_dir, "metadata.json"), "w") as f:
         json.dump(metadata, f, indent=2)
     log.info(f"Exported {len(exports)} graphs -> {output_dir}")
     return output_dir
+
+
+def _export_stream_graphs(exports, model, text_buckets, frames_per_token,
+                          chunk_frames, overlap, has_spk_inputs):
+    """Chunked-decode graphs: `stream_upsample_{tb}_{mb}` (encode + gaussian
+    upsample to mb frames, batch 1) and `stream_decode_{W}` (decoder+vocoder
+    over one W-frame window). Mirrors models/streaming.py's two jits so
+    `/stream` replays from the frozen artifact."""
+    from ..models.generator import OptiSpeechGenerator
+    from ..ops import gaussian_upsample, sequence_mask
+
+    gen = model.generator
+    params = jax.device_get(model.params)
+    dim = model.cfg.generator.dim
+    mel_bucket_size = model.mel_bucket
+    window = chunk_frames + 2 * overlap
+
+    for tb in text_buckets:
+        mb = round_up_to_bucket(tb * frames_per_token, mel_bucket_size)
+
+        def upsample_fn(params, x, x_lengths, sids, lids, d, p, e):
+            enc = gen.apply({"params": params}, x, x_lengths, sids, lids, d, p, e,
+                            method=OptiSpeechGenerator.encode)
+            y_lengths = jnp.minimum(enc["y_lengths"], mb)
+            y_mask = sequence_mask(y_lengths, mb)
+            frames = gaussian_upsample(
+                enc["hidden"], enc["durations"].astype(jnp.float32), y_mask,
+                enc["x_mask"],
+            )
+            return {"frames": frames, "y_lengths": y_lengths}
+
+        if has_spk_inputs:
+            fn = upsample_fn
+            id_inputs = (
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+            )
+        else:
+            fn = lambda params, x, x_lengths, d, p, e: upsample_fn(
+                params, x, x_lengths, None, None, d, p, e)
+            id_inputs = ()
+        args = (
+            params,
+            jax.ShapeDtypeStruct((1, tb), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            *id_inputs,
+            jax.ShapeDtypeStruct((), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.float32),
+        )
+        exports[f"stream_upsample_{tb}_{mb}"] = (
+            jexport.export(jax.jit(fn))(*args).serialize()
+        )
+
+    def chunk_fn(params, window_frames, window_padding_mask):
+        return gen.apply(
+            {"params": params}, window_frames, window_padding_mask,
+            method=lambda m, f, pm:
+                m.vocoder(m.decoder(f, pm, deterministic=True),
+                          padding_mask=pm, deterministic=True),
+        )
+
+    cargs = (
+        params,
+        jax.ShapeDtypeStruct((1, window, dim), jnp.float32),
+        jax.ShapeDtypeStruct((1, window), jnp.bool_),
+    )
+    exports[f"stream_decode_{window}"] = jexport.export(jax.jit(chunk_fn))(*cargs).serialize()
+    return {"chunk_frames": chunk_frames, "overlap": overlap, "window": window}
 
 
 class ExportedOptiSpeech:
@@ -150,6 +247,19 @@ class ExportedOptiSpeech:
         self.num_languages = inf.get("num_languages", 1)
         self.has_speaker_inputs = inf.get("has_speaker_inputs", False)
         self.text_buckets = self.metadata["buckets"]
+        # batch-rung ladder per text bucket: encode_{tb} is rung 1,
+        # encode_{tb}_b{N} the wider rungs (round-2 artifacts only have rung 1)
+        self._rungs: dict[int, list[int]] = {}
+        for k in self._graphs:
+            parts = k.split("_")
+            if parts[0] != "encode":
+                continue
+            tb = int(parts[1])
+            nb = int(parts[2][1:]) if len(parts) > 2 else 1
+            self._rungs.setdefault(tb, []).append(nb)
+        for tb in self._rungs:
+            self._rungs[tb].sort()
+        self.stream_meta = self.metadata.get("stream")
 
     def prepare_input(self, text: str, lang: str | None = None,
                       speaker: str | int | None = None,
@@ -201,42 +311,29 @@ class ExportedOptiSpeech:
         )
 
     def synthesise(self, inputs: InferenceInputs) -> InferenceOutputs:
+        """Batched replay up the exported rung ladder: sentence rows pad to
+        the smallest exported batch rung that fits (one encode + one decode
+        dispatch per slab), so serving-batcher coalescing works against
+        artifacts exactly like against live checkpoints. Round-2 artifacts
+        (rung-1 graphs only) degrade to the per-row loop automatically."""
         inputs = inputs.as_numpy()
         n = inputs.x.shape[1]
         tb = next((b for b in self.text_buckets if b >= n), self.text_buckets[-1])
         x = numpy_pad_sequences(inputs.x[:, :tb], tb).astype(np.int32)
+        n_rows = x.shape[0]
+        rungs = self._rungs.get(tb, [1])
 
         wavs, wav_lens, durs = [], [], []
         t0 = time.perf_counter()
-        # Batch strategy: exported graphs are batch-1 and multi-sentence input
-        # replays them in a loop (same as the reference ONNX runtime's default
-        # usage); large-batch serving should use the live model's bucketed
-        # `synthesise` instead.
-        for i in range(x.shape[0]):
-            id_args = ()
-            if self.has_speaker_inputs:
-                sid = int(inputs.sids[i]) if inputs.sids is not None else 0
-                lid = int(inputs.lids[i]) if inputs.lids is not None else 0
-                id_args = (np.asarray([sid], np.int32), np.asarray([lid], np.int32))
-            enc = self._graphs[f"encode_{tb}"].call(
-                self.params, x[i : i + 1],
-                np.asarray([min(int(inputs.x_lengths[i]), tb)], np.int32),
-                *id_args,
-                np.float32(inputs.d_factor), np.float32(inputs.p_factor),
-                np.float32(inputs.e_factor),
-            )
-            y_len = int(np.asarray(enc["y_lengths"])[0])
-            decs = sorted(
-                int(k.split("_")[2]) for k in self._graphs if k.startswith(f"decode_{tb}_")
-            )
-            mb = next((m for m in decs if m >= y_len), decs[-1])
-            y_lengths = np.asarray([min(y_len, mb)], np.int32)
-            dec = self._graphs[f"decode_{tb}_{mb}"].call(
-                self.params, enc["hidden"], enc["durations"], enc["x_mask"], y_lengths
-            )
-            wavs.append(np.asarray(dec["wav"])[0])
-            wav_lens.append(int(np.asarray(dec["wav_lengths"])[0]))
-            durs.append(np.asarray(enc["durations"])[0])
+        row = 0
+        while row < n_rows:
+            count = min(n_rows - row, rungs[-1])
+            nb = next(r for r in rungs if r >= count)
+            w, wl, d = self._synthesise_slab(inputs, x, tb, row, count, nb)
+            wavs += w
+            wav_lens += wl
+            durs += d
+            row += count
         latency = (time.perf_counter() - t0) * 1000
         maxlen = max(w.shape[-1] for w in wavs)
         wav = np.stack([np.pad(w, (0, maxlen - len(w))) for w in wavs])
@@ -246,3 +343,125 @@ class ExportedOptiSpeech:
             rtf=latency / max(wav_t, 1e-9),
             durations=numpy_pad_sequences(durs) if durs else None,
         )
+
+    def _graph(self, kind: str, tb: int, nb: int, mb: int | None = None):
+        base = f"{kind}_{tb}" if mb is None else f"{kind}_{tb}_{mb}"
+        return self._graphs[base if nb == 1 else f"{base}_b{nb}"]
+
+    def _decode_buckets(self, tb: int, nb: int) -> list[int]:
+        suffix = "" if nb == 1 else f"_b{nb}"
+        out = []
+        for k in self._graphs:
+            parts = k.split("_")
+            if parts[0] == "decode" and int(parts[1]) == tb and k.endswith(suffix):
+                if nb == 1 and len(parts) > 3:
+                    continue  # a _b{N} variant, not the rung-1 graph
+                out.append(int(parts[2]))
+        return sorted(out)
+
+    def _synthesise_slab(self, inputs, x, tb: int, row: int, count: int, nb: int):
+        """One encode+decode dispatch over rows [row, row+count) padded up to
+        batch rung `nb` (pad rows repeat the slab's first row)."""
+        pick = list(range(row, row + count)) + [row] * (nb - count)
+        xb = x[pick]
+        x_lengths = np.minimum(
+            np.asarray(inputs.x_lengths)[pick], tb).astype(np.int32)
+        id_args = ()
+        if self.has_speaker_inputs:
+            sids = (np.asarray(inputs.sids)[pick] if inputs.sids is not None
+                    else np.zeros(nb)).astype(np.int32)
+            lids = (np.asarray(inputs.lids)[pick] if inputs.lids is not None
+                    else np.zeros(nb)).astype(np.int32)
+            id_args = (sids, lids)
+        enc = self._graph("encode", tb, nb).call(
+            self.params, xb, x_lengths, *id_args,
+            np.float32(inputs.d_factor), np.float32(inputs.p_factor),
+            np.float32(inputs.e_factor),
+        )
+        y_len = np.asarray(enc["y_lengths"])
+        decs = self._decode_buckets(tb, nb)
+        y_max = int(y_len[:count].max())
+        mb = next((m for m in decs if m >= y_max), decs[-1])
+        y_lengths = np.minimum(y_len, mb).astype(np.int32)
+        dec = self._graph("decode", tb, nb, mb).call(
+            self.params, enc["hidden"], enc["durations"], enc["x_mask"], y_lengths
+        )
+        wav = np.asarray(dec["wav"])
+        wav_lengths = np.asarray(dec["wav_lengths"])
+        durations = np.asarray(enc["durations"])
+        return (
+            [wav[i] for i in range(count)],
+            [int(wav_lengths[i]) for i in range(count)],
+            [durations[i] for i in range(count)],
+        )
+
+
+class ExportedStreamingSynthesiser:
+    """Chunked synthesis replayed from a frozen artifact's stream graphs —
+    the artifact-side counterpart of models/streaming.py (same API, so
+    cli/serve.py's `/stream` endpoint works from exported artifacts too).
+    Requires an artifact exported with `stream_chunk_frames` (round-3+)."""
+
+    def __init__(self, exported: "ExportedOptiSpeech"):
+        if not exported.stream_meta:
+            raise ValueError(
+                "artifact has no stream graphs; re-export with "
+                "export_model(..., stream_chunk_frames=256)"
+            )
+        self.m = exported
+        meta = exported.stream_meta
+        self.chunk = meta["chunk_frames"]
+        self.overlap = meta["overlap"]
+        self.window = meta["window"]
+        self.hop = exported.hop_length
+        # stream_upsample_{tb}_{mb}
+        self._ups: dict[int, tuple[int, object]] = {}
+        for k, g in exported._graphs.items():
+            parts = k.split("_")
+            if parts[0] == "stream" and parts[1] == "upsample":
+                self._ups[int(parts[2])] = (int(parts[3]), g)
+        self._decode = exported._graphs[f"stream_decode_{self.window}"]
+
+    def stream(self, inputs, max_frames: int | None = None):
+        """Yield waveform chunks (numpy) for the first batch item."""
+        inputs = inputs.as_numpy()
+        t_text = inputs.x.shape[1]
+        tbs = sorted(self._ups)
+        tb = next((b for b in tbs if b >= t_text), tbs[-1])
+        mb, ups = self._ups[tb]
+        x = np.zeros((1, tb), np.int32)
+        x[0, :min(t_text, tb)] = inputs.x[0, :tb]
+        id_args = ()
+        if self.m.has_speaker_inputs:
+            sid = int(inputs.sids[0]) if inputs.sids is not None else 0
+            lid = int(inputs.lids[0]) if inputs.lids is not None else 0
+            id_args = (np.asarray([sid], np.int32), np.asarray([lid], np.int32))
+        out = ups.call(
+            self.m.params, x,
+            np.asarray([min(int(inputs.x_lengths[0]), tb)], np.int32),
+            *id_args,
+            np.float32(inputs.d_factor), np.float32(inputs.p_factor),
+            np.float32(inputs.e_factor),
+        )
+        frames = np.asarray(out["frames"])
+        total = int(np.asarray(out["y_lengths"])[0])
+        if max_frames is not None:
+            total = min(total, max_frames)
+
+        dim = frames.shape[-1]
+        frames = np.concatenate([
+            np.zeros((1, self.overlap, dim), frames.dtype),
+            frames,
+            np.zeros((1, self.window, dim), frames.dtype),
+        ], axis=1)
+        pos0 = np.arange(self.window)
+        start = 0
+        while start < total:
+            emit = min(self.chunk, total - start)
+            window = frames[:, start : start + self.window]
+            pos = pos0 + (start - self.overlap)
+            pad_mask = ((pos < 0) | (pos >= total))[None, :]
+            wav = np.asarray(self._decode.call(self.m.params, window, pad_mask))
+            s = self.overlap * self.hop
+            yield wav[0, s : s + emit * self.hop]
+            start += emit
