@@ -33,6 +33,9 @@ def build_loaders(cfg, synthetic: bool, overfit: int, limit: float,
             return PackedLoader(
                 ds, cfg.data.batch_size, cfg.data.text_bucket_size,
                 cfg.data.mel_bucket_size, shuffle=shuffle, seed=cfg.data.seed,
+                # val keeps partial batches: a val split smaller than the
+                # batch size must still produce val metrics
+                drop_last=shuffle,
                 max_text_len=cfg.data.max_text_len, max_mel_len=cfg.data.max_mel_len,
                 shard_id=jax.process_index(), num_shards=jax.process_count(),
             )

@@ -181,8 +181,11 @@ def preprocess_dataset(
     wavs_dir = dataset_dir / "wavs" if (dataset_dir / "wavs").exists() else dataset_dir
 
     # eSpeak has process-global language state: multi-language runs must be
-    # single-worker (reference tools/preprocess_dataset.py:186-187)
-    if text_processor.is_multi_language:
+    # single-worker (reference tools/preprocess_dataset.py:186-187). Stateless
+    # tokenizers (char/raw-ipa/arabic) parallelise fine.
+    if text_processor.is_multi_language and getattr(
+        text_processor.tokenizer, "name", ""
+    ) == "ipa":
         num_workers = 1
 
     outputs = []

@@ -67,13 +67,14 @@ class TrainCheckpointManager:
             with open(self._loader_state_path(step), "w") as f:
                 json.dump({"step": step, "loader": loader_state}, f)
         self.manager.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
-        self._prune_loader_states()
+        self._prune_loader_states(keep_step=step)
 
     def _loader_state_path(self, step: int) -> str:
         return os.path.join(self.directory, f"loader_state-{step}.json")
 
-    def _prune_loader_states(self):
-        kept = set(self.manager.all_steps())
+    def _prune_loader_states(self, keep_step: int | None = None):
+        # the just-saved step may not be listed yet under async checkpointing
+        kept = set(self.manager.all_steps()) | ({keep_step} if keep_step is not None else set())
         for name in os.listdir(self.directory):
             if name.startswith("loader_state-") and name.endswith(".json"):
                 try:

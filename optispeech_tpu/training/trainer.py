@@ -205,7 +205,9 @@ class Trainer:
         old_handler = signal.signal(signal.SIGTERM, _sigterm)
         try:
             while step < max_steps:
+                saw_batch = False
                 for batch in train_loader:
+                    saw_batch = True
                     if profile_steps and step == profile_steps[0]:
                         jax.profiler.start_trace(os.path.join(self.out_dir, "profile"))
                     batch = shard_batch(self._device_batch(batch), self.mesh)
@@ -235,6 +237,11 @@ class Trainer:
                         raise KeyboardInterrupt("SIGTERM (preemption)")
                     if step >= max_steps:
                         break
+                if not saw_batch:
+                    raise RuntimeError(
+                        "train_loader yielded no batches (dataset smaller than "
+                        "the global batch size with drop_last?)"
+                    )
         except KeyboardInterrupt:
             log.info("Interrupted/preempted — saving checkpoint before exit")
         finally:

@@ -1,0 +1,315 @@
+"""End-to-end multi-speaker / multi-language training campaign driver.
+
+Drives the FULL production path on a formant-synthesis corpus
+(VERDICT r2 item 1):
+
+    corpus -> preprocess -> stats -> pack -> train (--packed-train, TPU)
+           -> metric audit (every val metric must move)
+           -> per-speaker F0 check (synthesis conditioned on each sid lands
+              in that speaker's F0 range)
+           -> export (batch ladder + stream graphs)
+           -> serve the artifact over HTTP and query every speaker
+
+Each stage is a subprocess of the corresponding CLI (the same commands a user
+would run); stages are resumable — completed outputs are detected and skipped.
+Host-only stages pin JAX_PLATFORMS=cpu so the TPU stays free for training.
+
+Usage:
+    python scripts/campaign.py --work-dir /tmp/campaign_r3 \
+        [--n-utterances 600] [--max-steps 3000] \
+        [--evidence-dir docs/evidence/campaign_r3]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _env(cpu: bool):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    if cpu:
+        env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def run(cmd, cpu=False, log_path=None, check=True):
+    print(f"+ {' '.join(map(str, cmd))}", flush=True)
+    t0 = time.time()
+    with open(log_path, "ab") if log_path else open(os.devnull, "wb") as sink:
+        proc = subprocess.run(
+            [str(c) for c in cmd], env=_env(cpu), cwd=str(REPO),
+            stdout=sink if log_path else None,
+            stderr=subprocess.STDOUT if log_path else None,
+        )
+    print(f"  -> rc={proc.returncode} ({time.time() - t0:.0f}s)", flush=True)
+    if check and proc.returncode != 0:
+        tail = Path(log_path).read_text()[-3000:] if log_path else ""
+        raise SystemExit(f"stage failed: {' '.join(map(str, cmd))}\n{tail}")
+    return proc.returncode
+
+
+def stats_overrides(stats_path: Path) -> list[str]:
+    stats = json.loads(stats_path.read_text())
+    return [f"data.statistics.{k}={v}" for k, v in stats.items()]
+
+
+def stage_corpus(work: Path, n_utt: int, log):
+    corpus = work / "corpus"
+    if (corpus / "metadata.csv").exists():
+        return corpus
+    run([sys.executable, "-m", "optispeech_tpu.data.synthcorpus", corpus,
+         "--n-utterances", n_utt], cpu=True, log_path=log)
+    return corpus
+
+
+def stage_preprocess(work: Path, corpus: Path, log):
+    pre = work / "pre"
+    if (pre / "train.txt").exists():
+        return pre
+    run([sys.executable, "-m", "optispeech_tpu.cli.preprocess", corpus, pre,
+         "--config", "campaign-ms", "--workers", "8", "--val-fraction", "0.03"],
+        cpu=True, log_path=log)
+    return pre
+
+
+def stage_stats(work: Path, pre: Path, log):
+    out = work / "stats.json"
+    if not out.exists():
+        run([sys.executable, "-m", "optispeech_tpu.cli.stats",
+             "--config", "campaign-ms", "-o", out,
+             f"data.train_filelist_path={pre / 'train.txt'}"],
+            cpu=True, log_path=log)
+    return out
+
+
+def stage_pack(work: Path, pre: Path, log):
+    train_pak, val_pak = work / "train.pak", work / "val.pak"
+    if not train_pak.exists():
+        run([sys.executable, "-m", "optispeech_tpu.cli.pack",
+             pre / "train.txt", train_pak, "--config", "campaign-ms"],
+            cpu=True, log_path=log)
+    if not val_pak.exists():
+        run([sys.executable, "-m", "optispeech_tpu.cli.pack",
+             pre / "val.txt", val_pak, "--config", "campaign-ms"],
+            cpu=True, log_path=log)
+    return train_pak, val_pak
+
+
+def stage_train(work: Path, pre: Path, train_pak, val_pak, stats, max_steps, log,
+                overrides=()):
+    out_dir = work / "run"
+    ckpt = out_dir / "inference_ckpt"
+    if (ckpt / "config.json").exists():
+        return out_dir
+    run([sys.executable, "-m", "optispeech_tpu.cli.train",
+         "--config", "campaign-ms",
+         "--packed-train", train_pak, "--packed-val", val_pak,
+         "--out-dir", out_dir, "--max-steps", max_steps,
+         "--no-print-config",
+         f"data.train_filelist_path={pre / 'train.txt'}",
+         f"data.valid_filelist_path={pre / 'val.txt'}",
+         *stats_overrides(stats), *overrides],
+        cpu=False, log_path=log)
+    return out_dir
+
+
+def audit_metrics(out_dir: Path) -> dict:
+    """Every val metric must move across evals (VERDICT r2 weak 1)."""
+    import csv as _csv
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    with open(out_dir / "metrics.csv") as f:
+        for row in _csv.DictReader(f):
+            if row["metric"].startswith(("val/", "total_loss/val", "gen_subloss/val")):
+                series[row["metric"]].append((int(row["step"]), float(row["value"])))
+    audit = {}
+    for metric, pts in sorted(series.items()):
+        vals = [v for _, v in pts]
+        audit[metric] = {
+            "n_evals": len(vals),
+            "first": vals[0],
+            "last": vals[-1],
+            # a single-point series (e.g. synth_wav_delta starts at eval 2)
+            # cannot move; only flag genuinely frozen multi-eval series
+            "moves": len(set(vals)) > 1 or len(vals) < 2,
+            "min": min(vals),
+            "max": max(vals),
+        }
+    return audit
+
+
+def stage_speaker_check(work: Path, out_dir: Path, corpus: Path, log) -> Path:
+    """Synthesise per-sid from the trained checkpoint on the TPU; the tracked
+    F0 must land in each speaker's assigned range."""
+    result = work / "speaker_f0.json"
+    if result.exists():
+        return result
+    script = work / "_speaker_check.py"
+    script.write_text(f"""
+import json, sys
+sys.path.insert(0, {str(REPO)!r})
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from optispeech_tpu.models.optispeech import OptiSpeech
+from optispeech_tpu.data.dsp import autocorr_pitch
+from scipy.signal import resample_poly
+
+manifest = json.load(open({str(corpus / "manifest.json")!r}))
+api = OptiSpeech.load_from_checkpoint({str(out_dir / "inference_ckpt")!r})
+text = "dake mito nasebo kuna seta"
+out = {{}}
+for sid, name in enumerate(manifest["speakers"]):
+    res = api.synthesise(api.prepare_input(text, speaker=sid, split_sentences=False))
+    wav = np.asarray(res.wav)[0, : int(res.wav_lengths[0])]
+    sr = api.sample_rate
+    w16 = resample_poly(wav.astype(np.float64), 16000 // np.gcd(16000, sr), sr // np.gcd(16000, sr)).astype(np.float32)
+    f0 = autocorr_pitch(w16, 16000, 160, len(w16) // 160, interpolate=False)
+    voiced = f0[f0 > 0]
+    out[name] = {{
+        "assigned_f0": manifest["speakers"][name]["f0_base"],
+        "tracked_median_f0": float(np.median(voiced)) if len(voiced) else 0.0,
+        "voiced_frac": float((f0 > 0).mean()),
+        "wav_seconds": float(len(wav) / sr),
+    }}
+json.dump(out, open({str(result)!r}, "w"), indent=2)
+print(json.dumps(out, indent=2))
+""")
+    run([sys.executable, script], cpu=False, log_path=log)
+    return result
+
+
+def stage_export(work: Path, out_dir: Path, log):
+    artifact = work / "artifact"
+    if (artifact / "metadata.json").exists():
+        return artifact
+    run([sys.executable, "-m", "optispeech_tpu.cli.export",
+         out_dir / "inference_ckpt", artifact,
+         "--text-buckets", "32,64", "--batch-sizes", "1,2,4,8"],
+        cpu=True, log_path=log)
+    return artifact
+
+
+def stage_serve_check(work: Path, artifact: Path, corpus: Path, log) -> Path:
+    """Serve the exported artifact over HTTP on the TPU and query each
+    speaker + /stream; record latencies and tracked F0 of the served audio."""
+    result = work / "serve_check.json"
+    if result.exists():
+        return result
+    script = work / "_serve_check.py"
+    script.write_text(f"""
+import json, sys, threading, time, urllib.request, base64
+sys.path.insert(0, {str(REPO)!r})
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from optispeech_tpu.cli.serve import load_model, serve
+from optispeech_tpu.data.dsp import autocorr_pitch
+from scipy.signal import resample_poly
+
+manifest = json.load(open({str(corpus / "manifest.json")!r}))
+model = load_model({str(artifact)!r})
+# first calls jit-compile full-size graphs through the TPU tunnel: allow
+# a long batcher wait and warm up before measuring
+httpd = serve(model, host="127.0.0.1", port=0, max_batch=8, batch_wait_ms=30.0,
+              request_timeout_s=1800.0)
+threading.Thread(target=httpd.serve_forever, daemon=True).start()
+base = f"http://127.0.0.1:{{httpd.server_address[1]}}"
+
+def post(payload, path="/synthesise"):
+    req = urllib.request.Request(base + path, data=json.dumps(payload).encode(),
+                                 headers={{"Content-Type": "application/json"}}, method="POST")
+    t0 = time.perf_counter()
+    with urllib.request.urlopen(req, timeout=1800) as r:
+        body = r.read()
+    return (time.perf_counter() - t0) * 1e3, body
+
+post({{"text": "dake mito nasebo kuna seta", "speaker": 0, "format": "json"}})  # warm-up/compile
+out = {{}}
+sr = model.sample_rate
+for sid, name in enumerate(manifest["speakers"]):
+    wall_ms, body = post({{"text": "dake mito nasebo kuna seta",
+                           "speaker": sid, "format": "json"}})
+    obj = json.loads(body)
+    pcm = np.frombuffer(base64.b64decode(obj["pcm16_b64"]), "<i2")
+    wav = pcm.astype(np.float32) / 32767.0
+    g = np.gcd(16000, sr)
+    w16 = resample_poly(wav.astype(np.float64), 16000 // g, sr // g).astype(np.float32)
+    f0 = autocorr_pitch(w16, 16000, 160, len(w16) // 160, interpolate=False)
+    voiced = f0[f0 > 0]
+    out[name] = {{
+        "assigned_f0": manifest["speakers"][name]["f0_base"],
+        "served_median_f0": float(np.median(voiced)) if len(voiced) else 0.0,
+        "wall_ms": wall_ms,
+        "audio_seconds": float(len(wav) / sr),
+        "truncated": obj["truncated"],
+    }}
+# streaming from the artifact
+wall_ms, body = post({{"text": "dake mito nasebo"}}, path="/stream")
+out["_stream"] = {{"bytes": len(body), "wall_ms": wall_ms}}
+with urllib.request.urlopen(base + "/health", timeout=30) as r:
+    out["_health"] = json.load(r)
+httpd.shutdown()
+json.dump(out, open({str(result)!r}, "w"), indent=2)
+print(json.dumps(out, indent=2))
+""")
+    run([sys.executable, script], cpu=False, log_path=log)
+    return result
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--work-dir", default="/tmp/campaign_r3")
+    p.add_argument("--n-utterances", type=int, default=600)
+    p.add_argument("--max-steps", type=int, default=3000)
+    p.add_argument("--evidence-dir", default=str(REPO / "docs/evidence/campaign_r3"))
+    p.add_argument("overrides", nargs="*",
+                   help="extra dotted config overrides passed to the train CLI")
+    args = p.parse_args(argv)
+
+    work = Path(args.work_dir)
+    work.mkdir(parents=True, exist_ok=True)
+    log = work / "campaign.log"
+
+    corpus = stage_corpus(work, args.n_utterances, log)
+    pre = stage_preprocess(work, corpus, log)
+    stats = stage_stats(work, pre, log)
+    train_pak, val_pak = stage_pack(work, pre, log)
+    out_dir = stage_train(work, pre, train_pak, val_pak, stats,
+                          args.max_steps, log, overrides=args.overrides)
+
+    audit = audit_metrics(out_dir)
+    frozen = [m for m, a in audit.items() if not a["moves"]]
+    print(json.dumps(audit, indent=2))
+    if frozen:
+        print(f"WARNING: frozen val metrics: {frozen}")
+
+    f0_check = stage_speaker_check(work, out_dir, corpus, log)
+    artifact = stage_export(work, out_dir, log)
+    serve_check = stage_serve_check(work, artifact, corpus, log)
+
+    # publish evidence
+    ev = Path(args.evidence_dir)
+    ev.mkdir(parents=True, exist_ok=True)
+    shutil.copy(out_dir / "metrics.csv", ev / "metrics.csv")
+    (ev / "metric_audit.json").write_text(json.dumps(audit, indent=2))
+    shutil.copy(f0_check, ev / "speaker_f0.json")
+    shutil.copy(serve_check, ev / "serve_check.json")
+    shutil.copy(corpus / "manifest.json", ev / "corpus_manifest.json")
+    shutil.copy(stats, ev / "stats.json")
+    print(f"campaign complete; evidence -> {ev}")
+
+
+if __name__ == "__main__":
+    main()
