@@ -188,6 +188,17 @@ class Trainer:
                 log.info(f"Restored data-iterator state: {loader_state}")
         t_last = time.perf_counter()
         steps_since = 0
+        # async-dispatch throttle: jax enqueues steps without bound, and when
+        # the host (data loader) outruns the device every in-flight step pins
+        # its ~100s-of-MB host batch buffers — measured as a 130 GB RSS OOM
+        # at batch 128 through a slow device link. Keep a small fixed
+        # pipeline depth by forcing one tiny D2H from `depth` steps back
+        # (device_get, not block_until_ready: through the tunnel the latter
+        # only acks the enqueue before the first transfer).
+        from collections import deque
+
+        inflight: deque = deque()
+        pipeline_depth = int(os.environ.get("OPTISPEECH_PIPELINE_DEPTH", "4"))
 
         # preemption safety: TPU maintenance events deliver SIGTERM; set a
         # flag and exit at the next step boundary (SURVEY.md §5). An async
@@ -212,6 +223,9 @@ class Trainer:
                         jax.profiler.start_trace(os.path.join(self.out_dir, "profile"))
                     batch = shard_batch(self._device_batch(batch), self.mesh)
                     state, logs = self.train_step(state, batch)
+                    inflight.append(logs["total_loss/generator"])
+                    if len(inflight) > pipeline_depth:
+                        jax.device_get(inflight.popleft())
                     if profile_steps and step == profile_steps[1]:
                         jax.block_until_ready(state.step)
                         jax.profiler.stop_trace()
