@@ -199,6 +199,7 @@ class Trainer:
 
         inflight: deque = deque()
         pipeline_depth = int(os.environ.get("OPTISPEECH_PIPELINE_DEPTH", "4"))
+        empty_passes = 0
 
         # preemption safety: TPU maintenance events deliver SIGTERM; set a
         # flag and exit at the next step boundary (SURVEY.md §5). An async
@@ -252,10 +253,18 @@ class Trainer:
                     if step >= max_steps:
                         break
                 if not saw_batch:
-                    raise RuntimeError(
-                        "train_loader yielded no batches (dataset smaller than "
-                        "the global batch size with drop_last?)"
-                    )
+                    # one empty pass is legitimate: a loader resumed from a
+                    # checkpoint cut at an epoch boundary starts with its
+                    # position at the end of the batch list and rolls over
+                    empty_passes += 1
+                    if empty_passes > 1:
+                        raise RuntimeError(
+                            "train_loader yielded no batches twice in a row "
+                            "(dataset smaller than the global batch size "
+                            "with drop_last?)"
+                        )
+                else:
+                    empty_passes = 0
         except KeyboardInterrupt:
             log.info("Interrupted/preempted — saving checkpoint before exit")
         finally:

@@ -52,6 +52,31 @@ def test_trainer_fit_val_ckpt_and_resume(tmp_path):
     assert api.cfg.generator.dim == cfg.generator.dim
 
 
+def test_resume_at_epoch_boundary_rolls_over(tmp_path):
+    """A loader whose restored position sits at the END of the batch list
+    (checkpoint cut exactly at an epoch boundary) must roll into the next
+    epoch, not trip the empty-loader guard."""
+    cfg = tiny_experiment(pretraining_steps=0)
+    cfg = dataclasses.replace(
+        cfg, log_every_n_steps=100, val_every_n_steps=1000, ckpt_every_n_steps=100,
+        num_devices=4,
+    )
+    feats = cfg.generator.features
+    ds = SyntheticDataset(n_items=8, n_feats=feats.n_feats, hop_length=feats.hop_length,
+                          text_range=(8, 16), mel_range=(32, 64))
+    collate = BucketedCollate(
+        n_feats=feats.n_feats, statistics=cfg.data.statistics, hop_length=feats.hop_length,
+        text_bucket=cfg.data.text_bucket_size, mel_bucket=cfg.data.mel_bucket_size,
+        max_text_len=cfg.data.text_bucket_size, max_mel_len=cfg.data.mel_bucket_size,
+    )
+    loader = DataLoader(ds, 4, collate, shuffle=True, seed=3)
+    n_batches = len(ds) // 4
+    loader.load_state_dict({"epoch": 0, "pos": n_batches, "seed": 3})
+    trainer = Trainer(cfg, out_dir=str(tmp_path / "run"))
+    state = trainer.fit(loader, None, max_steps=1)
+    assert int(np.asarray(state.step)) == 1
+
+
 def test_forced_resume_restores_g_and_d_with_fresh_optimizers(tmp_path):
     """`--forced-resume` from a TRAIN checkpoint loads generator AND
     discriminator weights but restarts optimizers/step at zero (reference
