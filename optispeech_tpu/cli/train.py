@@ -11,6 +11,7 @@ Debug harnesses mirror the reference's configs/debug/ set: --fast-dev-run
 
 import argparse
 import os
+import sys
 
 from ..utils.pylogger import get_pylogger
 from ..utils.yamlcfg import load_experiment
@@ -170,6 +171,18 @@ def main(argv=None):
         train_loader, val_loader, max_steps=args.max_steps, state=state,
         fast_dev_run=args.fast_dev_run, profile_steps=profile_steps,
     )
+    if getattr(trainer, "rss_preempted", False):
+        # the host-memory guard checkpointed cleanly (trainer.py
+        # _default_rss_limit_kb: the device transport retains host memory per
+        # byte transferred). Re-exec the identical command line in a FRESH
+        # process — leaked memory is shed, init_or_restore_state resumes from
+        # the checkpoint just written, and the data iterator continues at the
+        # exact batch. Transparent to the caller: one `train` invocation
+        # survives any number of restarts.
+        log.warning("Re-executing the training process to shed leaked host memory")
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os.execv(sys.executable, [sys.executable] + sys.orig_argv[1:])
     trainer.export_inference_checkpoint(state, f"{out_dir}/inference_ckpt")
     log.info("Done.")
 

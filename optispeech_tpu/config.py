@@ -204,6 +204,13 @@ class TrainArgs:
     # perceptual metrics here cover up to this many full wavs, not GAN segments)
     val_synth_utterances: int = 8
     compute_dtype: str = "bfloat16"  # activations; params/optimizer stay f32
+    # wire format for the mel batch on the host->device link ("float32" |
+    # "bfloat16"). bf16 halves the dominant per-step transfer term (the step
+    # upcasts back to f32 on entry); padding/mask semantics are unchanged.
+    # Opt-in: the ~3-decimal-digit mel quantization perturbs alignment
+    # affinities at training-noise level. Useful on bandwidth-limited or
+    # memory-leaking host links (see trainer._default_rss_limit_kb).
+    wire_mel_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

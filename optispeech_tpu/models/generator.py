@@ -137,12 +137,17 @@ class OptiSpeechGenerator(nn.Module):
 
     # -- training ----------------------------------------------------------
     def __call__(self, x, x_lengths, mel, mel_lengths, pitches, energies,
-                 sids=None, lids=None, deterministic: bool = False):
+                 sids=None, lids=None, deterministic: bool = False,
+                 start_idx=None):
         """Training forward (reference generator/__init__.py:72-192).
 
         Args:
             x: (B, T_text) phoneme ids.  mel: (B, n_feats, T_mel).
             pitches/energies: (B, T_mel) frame-level values.
+            start_idx: optional (B,) segment start indices sampled on the
+                HOST (ops/segments.py host_sample_segment_starts). When given,
+                the "segment" rng is not consumed and the trainer ships only
+                the matching GT wav crop instead of the full waveform batch.
 
         Returns dict: wav_hat (B, segment*hop), start_idx, loss + sublosses.
         """
@@ -184,10 +189,14 @@ class OptiSpeechGenerator(nn.Module):
 
         # random segment crop for the vocoder/GAN (reference :146-158)
         segment_size = min(c.segment_size, t_mel)
-        num_frames = jnp.maximum(mel_lengths - 4, 1)
-        seg, start_idx = get_random_segments(
-            self.make_rng("segment"), jnp.swapaxes(y, 1, 2), num_frames, segment_size
-        )
+        if start_idx is None:
+            num_frames = jnp.maximum(mel_lengths - 4, 1)
+            seg, start_idx = get_random_segments(
+                self.make_rng("segment"), jnp.swapaxes(y, 1, 2), num_frames,
+                segment_size,
+            )
+        else:
+            seg = get_segments(jnp.swapaxes(y, 1, 2), start_idx, segment_size)
         # vocoder trains on detached decoder output (reference :161)
         seg = jax.lax.stop_gradient(jnp.swapaxes(seg, 1, 2))  # (B, S, C)
         f0_cond = get_segments(pitches[:, None, :], start_idx, segment_size)

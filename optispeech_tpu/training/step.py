@@ -44,22 +44,34 @@ def make_train_step(cfg: ExperimentConfig, generator, discriminator, optimizer=N
 
     def g_forward(g_params, d_params, batch, rng, train_discriminator):
         drng, srng = jax.random.split(rng)
+        # `wav_seg` path: the HOST sampled the segment starts and shipped only
+        # the matching GT crop — the full waveform batch (~75% of the
+        # host->device bytes per step) never crosses the link. `wav` path:
+        # legacy/self-contained — the generator samples starts on device and
+        # the GT crop is gathered here.
+        host_seg = "wav_seg" in batch
         gen_out = generator.apply(
             {"params": g_params},
-            x=batch["x"], x_lengths=batch["x_lengths"], mel=batch["mel"],
+            x=batch["x"], x_lengths=batch["x_lengths"],
+            mel=batch["mel"].astype(jnp.float32),
             mel_lengths=batch["mel_lengths"], pitches=batch["pitches"],
             energies=batch["energies"], sids=batch.get("sids"), lids=batch.get("lids"),
             deterministic=False, rngs={"dropout": drng, "segment": srng},
+            start_idx=batch["start_idx"] if host_seg else None,
         )
         wav_hat = gen_out["wav_hat"]
-        # matching GT waveform segment (reference base_lightning_module.py:38-44);
-        # the generator returns its ACTUAL (t_mel-clamped) segment size — using
-        # cfg.segment_size here would mismatch wav_hat when segment_size exceeds
-        # the mel bucket (reference uses gen_outputs["segment_size"] the same way)
-        wav = get_segments(
-            batch["wav"][:, None, :],
-            gen_out["start_idx"] * hop, gen_out["segment_size"] * hop,
-        )[:, 0, :]
+        if host_seg:
+            wav = batch["wav_seg"]
+        else:
+            # matching GT waveform segment (reference
+            # base_lightning_module.py:38-44); the generator returns its ACTUAL
+            # (t_mel-clamped) segment size — using cfg.segment_size here would
+            # mismatch wav_hat when segment_size exceeds the mel bucket
+            # (reference uses gen_outputs["segment_size"] the same way)
+            wav = get_segments(
+                batch["wav"][:, None, :],
+                gen_out["start_idx"] * hop, gen_out["segment_size"] * hop,
+            )[:, 0, :]
 
         def with_adv(_):
             adv_loss, log = discriminator.apply(
@@ -168,17 +180,23 @@ def make_val_step(cfg: ExperimentConfig, generator, discriminator):
     @jax.jit
     def val_step(state: TrainState, batch: dict, rng):
         drng, srng = jax.random.split(rng)
+        host_seg = "wav_seg" in batch
         gen_out = generator.apply(
             {"params": state.g_params},
-            x=batch["x"], x_lengths=batch["x_lengths"], mel=batch["mel"],
+            x=batch["x"], x_lengths=batch["x_lengths"],
+            mel=batch["mel"].astype(jnp.float32),
             mel_lengths=batch["mel_lengths"], pitches=batch["pitches"],
             energies=batch["energies"], sids=batch.get("sids"), lids=batch.get("lids"),
             deterministic=True, rngs={"segment": srng},
+            start_idx=batch["start_idx"] if host_seg else None,
         )
-        wav = get_segments(
-            batch["wav"][:, None, :],
-            gen_out["start_idx"] * hop, gen_out["segment_size"] * hop,
-        )[:, 0, :]
+        if host_seg:
+            wav = batch["wav_seg"]
+        else:
+            wav = get_segments(
+                batch["wav"][:, None, :],
+                gen_out["start_idx"] * hop, gen_out["segment_size"] * hop,
+            )[:, 0, :]
         val_loss, val_log = discriminator.apply(
             {"params": state.d_params}, wav, gen_out["wav_hat"],
             method=type(discriminator).forward_val,

@@ -33,6 +33,54 @@ from .step import make_train_step, make_val_step
 log = get_pylogger(__name__)
 
 
+def _malloc_trim():
+    """Return freed glibc arenas to the OS (no-op off Linux/glibc).
+
+    Large per-step host buffers (batch assembly + transfer staging) can leave
+    freed-but-retained arena pages behind; long runs at big batch sizes
+    otherwise show unbounded RSS growth on some transport stacks."""
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
+
+
+def _rss_kb() -> int:
+    try:
+        with open(f"/proc/{os.getpid()}/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1])
+    except OSError:
+        pass
+    return 0
+
+
+def _default_rss_limit_kb() -> int:
+    """Default host-RSS preemption threshold: 85% of MemTotal (0 = disabled).
+
+    Some device transport stacks retain host memory proportional to bytes
+    transferred (measured 1:1 for H2D on the tunneled-TPU client, immune to
+    malloc_trim / buffer reuse / explicit deletes). A long training run then
+    grows RSS without bound and the kernel OOM-killer discards everything
+    since the last periodic checkpoint. The guard converts that into a CLEAN
+    preemption: checkpoint at a step boundary, then let the caller restart
+    the process (cli/train.py re-execs itself and resumes)."""
+    env = os.environ.get("OPTISPEECH_MAX_RSS_GB")
+    if env is not None:
+        return int(float(env) * 1024 * 1024)
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal"):
+                    return int(int(line.split()[1]) * 0.85)
+    except OSError:
+        pass
+    return 0
+
+
 class MetricLogger:
     """Multi-sink metric logger: CSV + JSONL always, named backends
     (tensorboard/wandb/mlflow/neptune/comet/aim — the reference's
@@ -215,6 +263,12 @@ class Trainer:
             preempted.set()
 
         old_handler = signal.signal(signal.SIGTERM, _sigterm)
+        # host-memory guard (see _default_rss_limit_kb): single-process only —
+        # a multi-host run must preempt collectively (use the cluster's
+        # maintenance SIGTERM for that), not drop one process out of the mesh.
+        rss_limit_kb = _default_rss_limit_kb() if jax.process_count() == 1 else 0
+        self.rss_preempted = False
+        start_step = step
         try:
             while step < max_steps:
                 saw_batch = False
@@ -222,11 +276,24 @@ class Trainer:
                     saw_batch = True
                     if profile_steps and step == profile_steps[0]:
                         jax.profiler.start_trace(os.path.join(self.out_dir, "profile"))
-                    batch = shard_batch(self._device_batch(batch), self.mesh)
+                    batch = shard_batch(
+                        self._segment_batch(self._device_batch(batch), step), self.mesh
+                    )
                     state, logs = self.train_step(state, batch)
                     inflight.append(logs["total_loss/generator"])
                     if len(inflight) > pipeline_depth:
                         jax.device_get(inflight.popleft())
+                    if step % 50 == 0:
+                        _malloc_trim()
+                    if (rss_limit_kb and step % 25 == 0 and step > start_step
+                            and step < max_steps and _rss_kb() > rss_limit_kb):
+                        log.warning(
+                            f"host RSS {_rss_kb() // 1024 // 1024} GB exceeds the "
+                            f"{rss_limit_kb // 1024 // 1024} GB guard at step {step} — "
+                            "checkpointing for a clean process restart"
+                        )
+                        self.rss_preempted = True
+                        preempted.set()
                     if profile_steps and step == profile_steps[1]:
                         jax.block_until_ready(state.step)
                         jax.profiler.stop_trace()
@@ -306,7 +373,7 @@ class Trainer:
                 n_collected += host["x"].shape[0]
             # loss scalars are global means, so they aggregate on any host;
             # wav gathers would need fully-addressable arrays (single host)
-            sharded = shard_batch(host, self.mesh)
+            sharded = shard_batch(self._segment_batch(host, step * 131 + n), self.mesh)
             logs, _wav, _wav_hat = self.val_step(state, sharded, rng)
             logs = jax.device_get(logs)
             for k, v in logs.items():
@@ -469,3 +536,33 @@ class Trainer:
             if k in ("x", "wav", "mel", "x_lengths", "wav_lengths", "mel_lengths",
                      "energies", "pitches", "sids", "lids")
         }
+
+    def _segment_batch(self, batch: dict, step: int) -> dict:
+        """Sample GAN segment starts on the host and ship only the GT crop.
+
+        The full-length waveform is ~75% of a batch's host->device bytes yet
+        the train/val steps only ever read `segment_size*hop` samples of it
+        (training/step.py). Slicing host-side cuts per-step transfer ~4x —
+        on a bandwidth-limited host link this dominates step wall time — and
+        caps the per-step footprint of any transport-layer buffering.
+        Seeded by (cfg.seed, process, step): deterministic under resume."""
+        wav = batch.get("wav")
+        if wav is None:
+            return batch
+        from ..ops.segments import host_sample_segment_starts, host_slice_wav_segments
+
+        t_mel = batch["mel"].shape[-1]
+        seg = min(self.cfg.generator.segment_size, t_mel)
+        hop = self.cfg.generator.features.hop_length
+        rng = np.random.default_rng(
+            (self.cfg.seed * 1_000_003 + jax.process_index() * 7919 + step) & 0x7FFFFFFF
+        )
+        start = host_sample_segment_starts(rng, batch["mel_lengths"], seg)
+        out = {k: v for k, v in batch.items() if k not in ("wav", "wav_lengths")}
+        out["start_idx"] = start
+        out["wav_seg"] = host_slice_wav_segments(wav, start, seg, hop)
+        if self.cfg.train_args.wire_mel_dtype == "bfloat16":
+            import ml_dtypes
+
+            out["mel"] = np.asarray(out["mel"]).astype(ml_dtypes.bfloat16)
+        return out

@@ -132,6 +132,48 @@ def test_val_step(rng):
     assert wav.shape == wav_hat.shape
 
 
+def test_host_segment_path_matches_device_sampling(rng):
+    """The trainer's host-side segment slicing (ops/segments.py
+    host_sample_segment_starts + host_slice_wav_segments, shipped as
+    `wav_seg`/`start_idx`) must be numerically identical to the legacy
+    device path when fed the same start indices."""
+    from optispeech_tpu.ops.segments import host_slice_wav_segments
+
+    cfg = tiny_experiment(pretraining_steps=0)
+    generator, discriminator, state = _build(cfg)
+    step_fn = make_train_step(cfg, generator, discriminator)
+    batch = synth_batch(rng, cfg, b=4)
+
+    # old path: generator samples starts from the "segment" rng stream
+    new_state1, logs1 = step_fn(state, batch)
+
+    # replay the generator with the step's exact rng derivation (step.py:97,
+    # g_forward split) to recover the starts the device path sampled (flax
+    # make_rng folds in the module path, so the key can't be rebuilt outside)
+    g_rng = jax.random.split(state.rng)[1]
+    drng, srng = jax.random.split(g_rng)
+    gen_out = generator.apply(
+        {"params": state.g_params},
+        x=batch["x"], x_lengths=batch["x_lengths"], mel=batch["mel"],
+        mel_lengths=batch["mel_lengths"], pitches=batch["pitches"],
+        energies=batch["energies"], sids=None, lids=None,
+        deterministic=False, rngs={"dropout": drng, "segment": srng},
+    )
+    starts = np.asarray(gen_out["start_idx"])
+    seg = min(cfg.generator.segment_size, cfg.data.mel_bucket_size)
+
+    hop = cfg.generator.features.hop_length
+    batch2 = {k: v for k, v in batch.items() if k != "wav"}
+    batch2["start_idx"] = jnp.asarray(starts)
+    batch2["wav_seg"] = jnp.asarray(
+        host_slice_wav_segments(np.asarray(batch["wav"]), starts, seg, hop)
+    )
+    new_state2, logs2 = step_fn(state, batch2)
+    for k in ("total_loss/generator", "total_loss/discriminator",
+              "total_loss/train_am_loss", "total_loss/train_gen_adv_loss"):
+        np.testing.assert_allclose(float(logs1[k]), float(logs2[k]), rtol=1e-5, err_msg=k)
+
+
 def test_train_step_segment_size_exceeding_mel_bucket(rng):
     """cfg.segment_size > the mel bucket: the generator clamps its segment to
     t_mel and reports the clamped size; the GT wav crop must follow it
