@@ -170,7 +170,13 @@ api = OptiSpeech.load_from_checkpoint({str(out_dir / "inference_ckpt")!r})
 text = "dake mito nasebo kuna seta"
 out = {{}}
 for sid, name in enumerate(manifest["speakers"]):
-    res = api.synthesise(api.prepare_input(text, speaker=sid, split_sentences=False))
+    # neutral prosody factors: the config's styling defaults (reference
+    # configs/model/optispeech.yaml:27-29 d=1.1/p=1.6/e=1.2) deliberately
+    # shift pitch/energy; the per-speaker F0 check must measure the raw
+    # speaker conditioning
+    res = api.synthesise(api.prepare_input(
+        text, speaker=sid, split_sentences=False,
+        d_factor=1.0, p_factor=1.0, e_factor=1.0))
     wav = np.asarray(res.wav)[0, : int(res.wav_lengths[0])]
     sr = api.sample_rate
     w16 = resample_poly(wav.astype(np.float64), 16000 // np.gcd(16000, sr), sr // np.gcd(16000, sr)).astype(np.float32)
@@ -240,7 +246,8 @@ out = {{}}
 sr = model.sample_rate
 for sid, name in enumerate(manifest["speakers"]):
     wall_ms, body = post({{"text": "dake mito nasebo kuna seta",
-                           "speaker": sid, "format": "json"}})
+                           "speaker": sid, "format": "json",
+                           "d_factor": 1.0, "p_factor": 1.0, "e_factor": 1.0}})
     obj = json.loads(body)
     pcm = np.frombuffer(base64.b64decode(obj["pcm16_b64"]), "<i2")
     wav = pcm.astype(np.float32) / 32767.0

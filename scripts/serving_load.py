@@ -105,6 +105,7 @@ def main(argv=None):
     stream_stats = []
     b0, r0 = httpd.batcher.batches_run, httpd.batcher.requests_served
     audio_s = [0.0]
+    acc_lock = threading.Lock()
 
     def worker(i):
         classes = list(FACTOR_CLASSES.items())
@@ -115,8 +116,9 @@ def main(argv=None):
             import base64
 
             n = len(base64.b64decode(obj["pcm16_b64"])) // 2
-            audio_s[0] += n / model.sample_rate
-            lat[cls].append(dt)
+            with acc_lock:
+                audio_s[0] += n / model.sample_rate
+                lat[cls].append(dt)
 
     def stream_worker():
         for _ in range(2):

@@ -169,3 +169,36 @@ def test_resume_matches_uninterrupted_run(tmp_path):
     flat_o = jax.tree_util.tree_leaves(jax.device_get(state_o.g_params))
     for a, b in zip(flat_b, flat_o):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
+def test_rss_guard_checkpoints_and_flags_restart(tmp_path, monkeypatch):
+    """Host-memory guard (trainer.py _default_rss_limit_kb): with a tiny
+    threshold the trainer must checkpoint cleanly at a step boundary and set
+    `rss_preempted` (cli/train.py then re-execs to shed leaked memory)."""
+    monkeypatch.setenv("OPTISPEECH_MAX_RSS_GB", "0.001")  # far below any real RSS
+    cfg = tiny_experiment(pretraining_steps=0)
+    cfg = dataclasses.replace(
+        cfg, log_every_n_steps=100, val_every_n_steps=1000, ckpt_every_n_steps=1000,
+        num_devices=1,
+    )
+    feats = cfg.generator.features
+    ds = SyntheticDataset(n_items=8, n_feats=feats.n_feats, hop_length=feats.hop_length,
+                          text_range=(8, 16), mel_range=(32, 64))
+    collate = BucketedCollate(
+        n_feats=feats.n_feats, statistics=cfg.data.statistics, hop_length=feats.hop_length,
+        text_bucket=cfg.data.text_bucket_size, mel_bucket=cfg.data.mel_bucket_size,
+        max_text_len=cfg.data.text_bucket_size, max_mel_len=cfg.data.mel_bucket_size,
+    )
+    train = DataLoader(ds, 4, collate, shuffle=True)
+    out_dir = str(tmp_path / "run")
+    trainer = Trainer(cfg, out_dir=out_dir)
+    state = trainer.fit(train, None, max_steps=100)
+    # the guard checks every 25 steps and requires step > start_step: it must
+    # have stopped at the first boundary, not run to max_steps
+    stopped_at = int(np.asarray(state.step))
+    assert trainer.rss_preempted
+    assert stopped_at < 100 and stopped_at >= 25
+    # the preemption checkpoint must be restorable at the stopped step
+    trainer2 = Trainer(cfg, out_dir=out_dir)
+    state2 = trainer2.init_or_restore_state()
+    assert int(np.asarray(state2.step)) == stopped_at
