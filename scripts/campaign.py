@@ -163,12 +163,25 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from optispeech_tpu.models.optispeech import OptiSpeech
 from optispeech_tpu.data.dsp import autocorr_pitch
+from optispeech_tpu.data import synthcorpus as _sc
 from scipy.signal import resample_poly
 
 manifest = json.load(open({str(corpus / "manifest.json")!r}))
 api = OptiSpeech.load_from_checkpoint({str(out_dir / "inference_ckpt")!r})
+stats = api.cfg.data.statistics
 text = "dake mito nasebo kuna seta"
 out = {{}}
+
+def track(wav, sr):
+    g = np.gcd(16000, sr)
+    w16 = resample_poly(wav.astype(np.float64), 16000 // g, sr // g).astype(np.float32)
+    f0 = autocorr_pitch(w16, 16000, 160, len(w16) // 160, interpolate=False)
+    voiced = f0[f0 > 0]
+    return (float(np.median(voiced)) if len(voiced) else 0.0,
+            float((f0 > 0).mean()))
+
+spk_by_name = {{s.name: s for s in _sc.DEFAULT_SPEAKERS}}
+lang0 = _sc.DEFAULT_LANGUAGES[0]
 for sid, name in enumerate(manifest["speakers"]):
     # neutral prosody factors: the config's styling defaults (reference
     # configs/model/optispeech.yaml:27-29 d=1.1/p=1.6/e=1.2) deliberately
@@ -179,13 +192,23 @@ for sid, name in enumerate(manifest["speakers"]):
         d_factor=1.0, p_factor=1.0, e_factor=1.0))
     wav = np.asarray(res.wav)[0, : int(res.wav_lengths[0])]
     sr = api.sample_rate
-    w16 = resample_poly(wav.astype(np.float64), 16000 // np.gcd(16000, sr), sr // np.gcd(16000, sr)).astype(np.float32)
-    f0 = autocorr_pitch(w16, 16000, 160, len(w16) // 160, interpolate=False)
-    voiced = f0[f0 > 0]
+    med, vf = track(wav, sr)
+    # CONTROL: the same tracker on a ground-truth utterance for this speaker
+    # (formant synthesis is deterministic) — separates "tracker can't read the
+    # corpus" from "the model's waveform lacks this speaker's pitch"
+    gt_med, gt_vf = track(_sc.synth_utterance(text, spk_by_name[name], lang0,
+                                              sr=sr, seed=7), sr)
+    # the model's own pitch-predictor output for this sid, denormalized to Hz
+    # — conditioning evidence independent of waveform rendering quality
+    pred = np.asarray(res.pitch)[0] * stats.pitch_std + stats.pitch_mean
+    pred_voiced = pred[pred > stats.pitch_min * 0.5]
     out[name] = {{
         "assigned_f0": manifest["speakers"][name]["f0_base"],
-        "tracked_median_f0": float(np.median(voiced)) if len(voiced) else 0.0,
-        "voiced_frac": float((f0 > 0).mean()),
+        "tracked_median_f0": med,
+        "voiced_frac": vf,
+        "gt_control_median_f0": gt_med,
+        "gt_control_voiced_frac": gt_vf,
+        "predicted_median_f0": float(np.median(pred_voiced)) if len(pred_voiced) else 0.0,
         "wav_seconds": float(len(wav) / sr),
     }}
 json.dump(out, open({str(result)!r}, "w"), indent=2)
