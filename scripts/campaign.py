@@ -338,6 +338,12 @@ def main(argv=None):
     shutil.copy(serve_check, ev / "serve_check.json")
     shutil.copy(corpus / "manifest.json", ev / "corpus_manifest.json")
     shutil.copy(stats, ev / "stats.json")
+    (ev / "run_info.json").write_text(json.dumps({
+        "max_steps": args.max_steps,
+        "n_utterances": args.n_utterances,
+        "overrides": args.overrides,
+        "finished_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }, indent=2))
     print(f"campaign complete; evidence -> {ev}")
 
 
