@@ -221,7 +221,7 @@ class Batcher:
         Exported artifacts fall back to the generic `synthesise`."""
         t0 = time.perf_counter()
         if hasattr(self.model, "synthesise_on_device"):
-            from ..utils.bucketing import round_up_to_bucket
+            from ..utils.bucketing import round_up_pow2_bucket
 
             hop = self.model.hop_length
             bucket = self.model.mel_bucket
@@ -235,8 +235,12 @@ class Batcher:
             d = float(merged.d_factor) or 1.0
             fpt = self.frames_per_token if not self._fpt_window \
                 else max(self._fpt_window) * 1.25 * d
-            n_frames = round_up_to_bucket(max(int(t * fpt), bucket), bucket)
-            n_frames = min(n_frames, cap)
+            # frames quantize to a power-of-two ladder, like the batch dim:
+            # a linear-bucketed frame count tracks the drifting fpt estimate
+            # through dozens of distinct shapes, and every new
+            # (rows, frames) shape is a fresh multi-minute compile
+            # (measured: 35-76 s p95 outliers under mixed load)
+            n_frames = round_up_pow2_bucket(int(t * fpt), bucket, cap)
             while True:
                 out = self.model.synthesise_on_device(merged, n_frames, pcm16=True)
                 wav_lengths = np.asarray(out["wav_lengths"])

@@ -14,6 +14,23 @@ def round_up_to_bucket(n: int, bucket: int, minimum: int | None = None) -> int:
     return out
 
 
+def round_up_pow2_bucket(n: int, bucket: int, cap: int | None = None) -> int:
+    """Round `n` up to `bucket * 2**k` (a geometric shape ladder).
+
+    Linear bucketing (`round_up_to_bucket`) still yields one compiled program
+    per multiple of `bucket` — dozens of shapes when an adaptive estimate
+    (e.g. the serving frame cap) drifts between batches, each a fresh
+    multi-minute XLA compile on a tunneled host. A power-of-two ladder bounds
+    the shape space to log2(cap/bucket)+1 rungs at the cost of ≤2× padding."""
+    n = max(int(n), 1)
+    rung = bucket
+    while rung < n and (cap is None or rung < cap):
+        rung *= 2
+    if cap is not None:
+        rung = min(rung, cap)
+    return rung
+
+
 def pad_to_length(arr: np.ndarray, length: int, axis: int = -1, value=0) -> np.ndarray:
     """Right-pad `arr` along `axis` to `length` with `value`."""
     axis = axis % arr.ndim

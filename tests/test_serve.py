@@ -337,6 +337,22 @@ def test_frame_cap_estimator_decays():
     assert max(b._fpt_window) == 8.0  # outlier evicted
 
 
+def test_frame_cap_quantizes_to_pow2_ladder():
+    """The serving frame dim lands on bucket*2**k rungs so a drifting fpt
+    estimate cannot spray fresh (rows, frames) compiles mid-load (measured
+    35-76 s p95 outliers before the ladder; docs/evidence/serving_load_v2.md)."""
+    from optispeech_tpu.utils.bucketing import round_up_pow2_bucket
+
+    bucket, cap = 32, 4096
+    rungs = {round_up_pow2_bucket(n, bucket, cap) for n in range(1, cap + 1)}
+    assert rungs == {32, 64, 128, 256, 512, 1024, 2048, 4096}
+    assert round_up_pow2_bucket(33, bucket, cap) == 64
+    assert round_up_pow2_bucket(32, bucket, cap) == 32
+    assert round_up_pow2_bucket(99999, bucket, cap) == cap  # capped
+    # every rung is reachable by the retry loop's doubling (stays on ladder)
+    assert all(r * 2 in rungs or r * 2 > cap for r in rungs)
+
+
 def test_incompatible_factors_still_served(server):
     base, _ = server
     code, _, body = _post(base, {"text": "hello there", "format": "json",
