@@ -83,19 +83,24 @@ def main(argv=None):
     host, port = httpd.server_address
     base = f"http://{host}:{port}"
 
-    # warm-up: one request per factor class (compiles each ladder rung pair
-    # it will hit), then one burst to warm wider rungs, then one stream
+    # warm-up: for EVERY factor class, walk the power-of-two row ladder with
+    # concurrent same-class bursts so each (rows rung, frame rung) pair the
+    # measured phase can hit is already compiled (compiles are once per
+    # machine via the persistent cache, but a first-per-shape compile landing
+    # inside the measured window would dominate the p95)
     print("warm-up ...", flush=True)
     t0 = time.time()
     for cls, extra in FACTOR_CLASSES.items():
-        post(base, {"text": TEXT, "format": "json", **extra})
-    warm_threads = [threading.Thread(
-        target=post, args=(base, {"text": TEXT, "format": "json"}))
-        for _ in range(args.max_batch)]
-    for t in warm_threads:
-        t.start()
-    for t in warm_threads:
-        t.join()
+        rung = 1
+        while rung <= args.max_batch:
+            warm_threads = [threading.Thread(
+                target=post, args=(base, {"text": TEXT, "format": "json", **extra}))
+                for _ in range(rung)]
+            for t in warm_threads:
+                t.start()
+            for t in warm_threads:
+                t.join()
+            rung *= 2
     stream_once(host, port, {"text": TEXT})
     warm_s = time.time() - t0
 
