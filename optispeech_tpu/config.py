@@ -203,7 +203,12 @@ class TrainArgs:
     # real inference path per validation (reference on_validation_end runs 2;
     # perceptual metrics here cover up to this many full wavs, not GAN segments)
     val_synth_utterances: int = 8
-    compute_dtype: str = "bfloat16"  # activations; params/optimizer stay f32
+    # Training activation dtype. f32 is the default BY MEASUREMENT on v5e:
+    # XLA's f32 matmuls already take bf16 MXU passes, so explicit bf16
+    # activations only add cast overhead (74.6 vs 65.3 ms/step at batch 16,
+    # docs/evidence/training_profile.md) while costing GAN numerical margin.
+    # bf16 pays off for inference serving (--bf16), not training.
+    compute_dtype: str = "float32"
     # wire format for the mel batch on the host->device link ("float32" |
     # "bfloat16"). bf16 halves the dominant per-step transfer term (the step
     # upcasts back to f32 on entry); padding/mask semantics are unchanged.

@@ -303,6 +303,9 @@ class Trainer:
                         logs = jax.device_get(logs)
                         dt = time.perf_counter() - t_last
                         logs["perf/steps_per_sec"] = steps_since / max(dt, 1e-9)
+                        # host RSS series: evidence for the tunnel-client leak
+                        # (docs/evidence/host_link_leak.md) and the guard above
+                        logs["perf/host_rss_gb"] = _rss_kb() / 1024 / 1024
                         t_last, steps_since = time.perf_counter(), 0
                         if self.is_main:
                             self.metrics.log(step, logs)

@@ -38,6 +38,8 @@ def test_trainer_fit_val_ckpt_and_resume(tmp_path):
     csv = open(os.path.join(out_dir, "metrics.csv")).read()
     assert "total_loss/val_total" in csv
     assert "val/f1_score" in csv
+    # host RSS series (evidence for the tunnel-client leak + guard)
+    assert "perf/host_rss_gb" in csv
 
     # resume continues from the saved step
     trainer2 = Trainer(cfg, out_dir=out_dir)
