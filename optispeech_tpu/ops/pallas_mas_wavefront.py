@@ -182,11 +182,11 @@ def viterbi_decode_wavefront(log_p_attn, text_lengths, feats_lengths,
         in_specs=[
             pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0)),  # tl
             pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0)),  # fl
-            pl.BlockSpec(memory_space=pltpu.ANY),              # lp (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),              # lp (manual DMA)
         ],
         out_specs=(
             pl.BlockSpec((1, tt, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),              # dec scratch-out
+            pl.BlockSpec(memory_space=pl.ANY),              # dec scratch-out
         ),
         out_shape=(
             jax.ShapeDtypeStruct((g, tt, LANES), jnp.float32),
