@@ -25,8 +25,9 @@ import jax.numpy as jnp
 import numpy as np
 
 # persistent compile cache: first compile through the TPU tunnel is minutes
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from optispeech_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 
 def _profiled_device_seconds_per_call(api, inputs, n_frames, n_iter=10):

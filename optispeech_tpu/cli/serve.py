@@ -536,13 +536,9 @@ def main(argv=None):
 
     # persistent compile cache: new batch shapes jit-compile on first use
     # (same default as bench.py / the train CLI)
-    import jax
+    from ..utils.cache import enable_compile_cache
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_compile_cache()
 
     model = load_model(args.model, bf16=args.bf16)
     httpd = serve(model, args.host, args.port, args.max_batch, args.batch_wait_ms,

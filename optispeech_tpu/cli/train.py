@@ -113,11 +113,9 @@ def main(argv=None):
 
     # persistent compile cache: the one-jit GAN step is a multi-minute XLA
     # compile on TPU; cache it across runs (same default as bench.py)
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from ..utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     if args.distributed:
         jax.distributed.initialize()

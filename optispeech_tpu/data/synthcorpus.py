@@ -119,8 +119,16 @@ def _env(n, attack=0.15, release=0.2):
 
 
 def synth_utterance(text: str, speaker: Speaker, language: Language,
-                    sr: int = 24000, seed: int = 0) -> np.ndarray:
-    """Render `text` (chars from the language's inventory + spaces) to audio."""
+                    sr: int = 24000, seed: int = 0,
+                    f0_scale: float = 1.0) -> np.ndarray:
+    """Render `text` (chars from the language's inventory + spaces) to audio.
+
+    `f0_scale` shifts the whole utterance's F0 contour off the speaker base.
+    The round-3 campaign showed that when F0 is a pure function of speaker
+    identity the GAN decoder can learn pitch from the sid embedding and
+    ignore the pitch-embedding pathway entirely (campaign_r3/README.md layer
+    3); per-utterance variation makes the pitch pathway load-bearing, like
+    natural within-speaker F0 spread."""
     rng = np.random.default_rng(seed)
     pieces = []
     phones = [c for c in text]
@@ -134,8 +142,8 @@ def synth_utterance(text: str, speaker: Speaker, language: Language,
         if ch == " ":
             pieces.append(np.zeros(int(n * 0.8), np.float32))
             continue
-        # F0: declination + vibrato + jitter
-        f0 = speaker.f0_base * (1.12 - 0.2 * progress)
+        # F0: per-utterance scale + declination + vibrato + jitter
+        f0 = speaker.f0_base * f0_scale * (1.12 - 0.2 * progress)
         t = np.arange(n) / sr
         f0_curve = f0 * (1.0
                          + speaker.vibrato_depth
@@ -185,23 +193,34 @@ def random_text(language: Language, rng, n_words=(3, 7)) -> str:
 
 def generate_corpus(out_dir: str, n_utterances: int = 600,
                     speakers=DEFAULT_SPEAKERS, languages=DEFAULT_LANGUAGES,
-                    sr: int = 24000, seed: int = 0) -> dict:
+                    sr: int = 24000, seed: int = 0,
+                    f0_jitter: float = 0.08) -> dict:
     """Write wavs/ + 4-column metadata.csv (file_id|speaker|lang|text), the
-    exact layout cli/preprocess.py consumes. Returns a manifest dict."""
+    exact layout cli/preprocess.py consumes. Returns a manifest dict.
+
+    `f0_jitter` is the sigma of a lognormal per-utterance F0 scale (~±16% at
+    2 sigma by default): speaker medians stay separated while within-speaker
+    spread forces the pitch pathway to carry signal (see synth_utterance);
+    0.0 reproduces the round-3 fixed-F0 corpus. Per-utterance scales are
+    recorded in the manifest for F0-check layers."""
     from ..utils.wavio import save_wav
 
     out = Path(out_dir)
     (out / "wavs").mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
     rows = []
+    f0_scales = {}
     for i in range(n_utterances):
         spk = speakers[i % len(speakers)]
         lang = languages[(i // len(speakers)) % len(languages)]
         text = random_text(lang, rng)
-        wav = synth_utterance(text, spk, lang, sr=sr, seed=seed + i)
+        f0_scale = float(np.exp(f0_jitter * rng.standard_normal())) if f0_jitter else 1.0
+        wav = synth_utterance(text, spk, lang, sr=sr, seed=seed + i,
+                              f0_scale=f0_scale)
         fid = f"utt{i:05d}"
         save_wav(str(out / "wavs" / f"{fid}.wav"), wav, sr)
         rows.append(f"{fid}|{spk.name}|{lang.name}|{text}")
+        f0_scales[fid] = round(f0_scale, 5)
     (out / "metadata.csv").write_text("\n".join(rows) + "\n", encoding="utf-8")
     manifest = {
         "n_utterances": n_utterances,
@@ -210,6 +229,8 @@ def generate_corpus(out_dir: str, n_utterances: int = 600,
                      for s in speakers},
         "languages": [l.name for l in languages],
         "seed": seed,
+        "f0_jitter": f0_jitter,
+        "f0_scales": f0_scales,
     }
     (out / "manifest.json").write_text(json.dumps(manifest, indent=2))
     return manifest
@@ -223,9 +244,12 @@ def main(argv=None):
     p.add_argument("--n-utterances", type=int, default=600)
     p.add_argument("--sample-rate", type=int, default=24000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--f0-jitter", type=float, default=0.08,
+                   help="sigma of the lognormal per-utterance F0 scale "
+                        "(0 = fixed per-speaker F0, the round-3 corpus)")
     args = p.parse_args(argv)
     m = generate_corpus(args.out_dir, args.n_utterances, sr=args.sample_rate,
-                        seed=args.seed)
+                        seed=args.seed, f0_jitter=args.f0_jitter)
     print(json.dumps(m))
 
 

@@ -15,7 +15,7 @@ would run); stages are resumable — completed outputs are detected and skipped.
 Host-only stages pin JAX_PLATFORMS=cpu so the TPU stays free for training.
 
 Usage:
-    python scripts/campaign.py --work-dir /tmp/campaign_r3 \
+    python scripts/campaign.py --work-dir runs/campaign \
         [--n-utterances 600] [--max-steps 3000] \
         [--evidence-dir docs/evidence/campaign_r3]
 """
@@ -159,8 +159,8 @@ import json, sys
 sys.path.insert(0, {str(REPO)!r})
 import numpy as np
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from optispeech_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 from optispeech_tpu.models.optispeech import OptiSpeech
 from optispeech_tpu.data.dsp import autocorr_pitch
 from optispeech_tpu.data import synthcorpus as _sc
@@ -211,6 +211,22 @@ for sid, name in enumerate(manifest["speakers"]):
         "predicted_median_f0": float(np.median(pred_voiced)) if len(pred_voiced) else 0.0,
         "wav_seconds": float(len(wav) / sr),
     }}
+
+# p_factor responsiveness: with per-utterance F0 jitter in the corpus the
+# pitch-embedding pathway must carry signal, so scaling the predicted pitch
+# (in the normalized domain, reference modules/core.py:169-178) should move
+# the RENDERED F0 — the direct counter-evidence to the round-3 finding that
+# the decoder could learn pitch from the sid embedding alone.
+for sid, name in [(0, "spk_low"), (len(manifest["speakers"]) - 1, list(manifest["speakers"])[-1])]:
+    sweep = {{}}
+    for pf in (0.7, 1.0, 1.3):
+        res = api.synthesise(api.prepare_input(
+            text, speaker=sid, split_sentences=False,
+            d_factor=1.0, p_factor=pf, e_factor=1.0))
+        wav = np.asarray(res.wav)[0, : int(res.wav_lengths[0])]
+        med, _ = track(wav, api.sample_rate)
+        sweep[str(pf)] = med
+    out.setdefault("p_factor_sweep", {{}})[name] = sweep
 json.dump(out, open({str(result)!r}, "w"), indent=2)
 print(json.dumps(out, indent=2))
 """)
@@ -241,8 +257,8 @@ import json, sys, threading, time, urllib.request, base64
 sys.path.insert(0, {str(REPO)!r})
 import numpy as np
 import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from optispeech_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 from optispeech_tpu.cli.serve import load_model, serve
 from optispeech_tpu.data.dsp import autocorr_pitch
 from scipy.signal import resample_poly
@@ -300,7 +316,11 @@ print(json.dumps(out, indent=2))
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--work-dir", default="/tmp/campaign_r3")
+    p.add_argument(
+        "--work-dir", default=str(REPO / "runs" / "campaign"),
+        help="stage outputs + checkpoints; keep it under /root/repo/runs so a "
+             "harness session reset cannot destroy banked training steps",
+    )
     p.add_argument("--n-utterances", type=int, default=600)
     p.add_argument("--max-steps", type=int, default=3000)
     p.add_argument("--evidence-dir", default=str(REPO / "docs/evidence/campaign_r3"))

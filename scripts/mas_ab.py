@@ -19,8 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from optispeech_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 
 from optispeech_tpu.ops.mas import viterbi_decode
 from optispeech_tpu.ops.pallas_mas_wavefront import viterbi_decode_wavefront

@@ -72,8 +72,9 @@ def main(argv=None):
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from optispeech_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     from optispeech_tpu.cli.serve import load_model, serve
 
     model = load_model(args.model, bf16=args.bf16)

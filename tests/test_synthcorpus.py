@@ -37,6 +37,43 @@ def test_speakers_have_separated_f0_and_mixed_voicing():
     assert all(b > a * 1.15 for a, b in zip(medians, medians[1:])), medians
 
 
+def test_f0_jitter_moves_within_speaker_pitch():
+    """`f0_scale` shifts the tracked F0 multiplicatively (so per-utterance
+    lognormal jitter creates within-speaker spread — the property that keeps
+    the pitch pathway load-bearing, campaign_r3 layer 3), while f0_scale=1
+    reproduces the fixed-F0 corpus exactly."""
+    from optispeech_tpu.data.dsp import autocorr_pitch
+    from scipy.signal import resample_poly
+
+    spk, lang = DEFAULT_SPEAKERS[1], DEFAULT_LANGUAGES[0]
+    text = "dake mito nasebo"
+
+    def med(f0_scale):
+        wav = synth_utterance(text, spk, lang, seed=3, f0_scale=f0_scale)
+        w16 = resample_poly(wav.astype(np.float64), 2, 3).astype(np.float32)
+        f0 = autocorr_pitch(w16, 16000, 160, len(w16) // 160, interpolate=False)
+        return float(np.median(f0[f0 > 0]))
+
+    base, lo, hi = med(1.0), med(0.85), med(1.18)
+    assert abs(lo / base - 0.85) < 0.05, (lo, base)
+    assert abs(hi / base - 1.18) < 0.06, (hi, base)
+    default = synth_utterance(text, spk, lang, seed=3)
+    assert np.array_equal(default, synth_utterance(text, spk, lang, seed=3,
+                                                   f0_scale=1.0))
+
+
+def test_generate_corpus_records_f0_scales(tmp_path):
+    """Per-utterance scales land in the manifest; jitter=0 pins them to 1."""
+    m = generate_corpus(str(tmp_path / "j"), n_utterances=6, seed=1,
+                        f0_jitter=0.08)
+    scales = np.array(list(m["f0_scales"].values()))
+    assert len(scales) == 6 and scales.std() > 0.01
+    assert np.all((scales > 0.7) & (scales < 1.4))
+    m0 = generate_corpus(str(tmp_path / "nj"), n_utterances=4, seed=1,
+                         f0_jitter=0.0)
+    assert all(v == 1.0 for v in m0["f0_scales"].values())
+
+
 def test_generate_corpus_layout_and_preprocess_compat(tmp_path):
     """metadata.csv is the 4-column layout cli/preprocess.py consumes and the
     full preprocess pipeline runs on it (sid/lid maps included)."""
