@@ -50,9 +50,13 @@ from ..utils.pylogger import get_pylogger
 log = get_pylogger(__name__)
 
 
-def load_model(path: str, bf16: bool = False):
+def load_model(path: str, bf16: bool = False, fused: bool = True):
     """Accepts either a live inference checkpoint (config.json) or an
-    exported StableHLO artifact (metadata.json)."""
+    exported StableHLO artifact (metadata.json). Live checkpoints default to
+    the fused-Pallas ConvNeXt serving path (the measured ~1.7x device win;
+    self-gating off-TPU). Artifacts replay their pre-compiled graphs — fused
+    is a trace-time choice there, and portable artifacts stay pure-XLA so
+    they replay on any backend (docs/serving.md)."""
     if os.path.exists(os.path.join(path, "metadata.json")):
         from ..export.exporter import ExportedOptiSpeech
 
@@ -62,7 +66,7 @@ def load_model(path: str, bf16: bool = False):
     from ..models.optispeech import OptiSpeech
 
     return OptiSpeech.load_from_checkpoint(
-        path, compute_dtype=jnp.bfloat16 if bf16 else jnp.float32
+        path, compute_dtype=jnp.bfloat16 if bf16 else jnp.float32, fused=fused
     )
 
 
@@ -532,6 +536,8 @@ def main(argv=None):
                    help="per-request wait on the batcher (first calls compile)")
     p.add_argument("--max-pending", type=int, default=256,
                    help="queued-request bound; overflow answers 429")
+    p.add_argument("--no-fused", action="store_true",
+                   help="disable the fused-Pallas ConvNeXt serving path")
     args = p.parse_args(argv)
 
     # persistent compile cache: new batch shapes jit-compile on first use
@@ -540,7 +546,7 @@ def main(argv=None):
 
     enable_compile_cache()
 
-    model = load_model(args.model, bf16=args.bf16)
+    model = load_model(args.model, bf16=args.bf16, fused=not args.no_fused)
     httpd = serve(model, args.host, args.port, args.max_batch, args.batch_wait_ms,
                   stream_chunk_frames=args.stream_chunk_frames,
                   request_timeout_s=args.request_timeout,

@@ -47,7 +47,7 @@ class ConvNeXtBlock(nn.Module):
                 pick_tile,
             )
 
-            t_tile = pick_tile(x.shape[1])
+            t_tile = pick_tile(x.shape[1], self.dim, self.intermediate_dim)
             p = self.variables["params"]
             if fused_supported() and t_tile is not None and "gamma" in p:
                 return convnext_block_fused(

@@ -243,9 +243,23 @@ class OptiSpeech:
         save_inference_checkpoint(path, self.cfg, self.params, speakers=self.speakers)
 
     @classmethod
-    def load_from_checkpoint(cls, path: str, compute_dtype=jnp.float32) -> "OptiSpeech":
+    def load_from_checkpoint(cls, path: str, compute_dtype=jnp.float32,
+                             fused: bool = False) -> "OptiSpeech":
+        """`fused=True` routes ConvNeXt decoder/vocoder blocks through the
+        whole-block Pallas kernel (the measured ~1.7x device win on the
+        synthesis hot path; falls back to XLA off-TPU or at non-tileable
+        lengths — see ops/pallas_convnext.py)."""
+        import dataclasses
+
         from ..training.checkpoint import load_inference_checkpoint
 
         cfg, params, meta = load_inference_checkpoint(path)
+        if fused:
+            g = cfg.generator
+            kw = {}
+            if g.decoder.kind == "convnext":
+                kw["decoder"] = dataclasses.replace(g.decoder, fused_pallas=True)
+            kw["vocoder"] = dataclasses.replace(g.vocoder, fused_pallas=True)
+            cfg = dataclasses.replace(cfg, generator=dataclasses.replace(g, **kw))
         return cls(cfg, params=params, compute_dtype=compute_dtype,
                    speakers=meta.get("speakers") or [])

@@ -212,3 +212,15 @@ def test_checkpoint_roundtrip(tmp_path):
         jax.tree_util.tree_map(lambda a, b: bool(np.allclose(a, b)), api.params, api2.params)
     )
     assert chex_equal
+
+    # fused=True (the serving default) flips the Pallas routing knobs on the
+    # loaded config but changes nothing else; off-TPU the blocks self-gate
+    # back to XLA so outputs are identical on this harness
+    api3 = OptiSpeech.load_from_checkpoint(path, fused=True)
+    assert api3.cfg.generator.vocoder.fused_pallas
+    if api3.cfg.generator.decoder.kind == "convnext":
+        assert api3.cfg.generator.decoder.fused_pallas
+    inp = api.prepare_input("ab c", split_sentences=False)
+    np.testing.assert_allclose(
+        np.asarray(api3.synthesise(inp).wav), np.asarray(api2.synthesise(inp).wav)
+    )

@@ -46,13 +46,45 @@ def test_fused_block_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_1tile), atol=3e-3)
 
 
+def test_fused_int8_block_matches_oracle(rng):
+    """Int8 kernel == the pure-jnp oracle of the same quantized math
+    (bit-equal quantizers), and stays close to the unquantized block."""
+    from optispeech_tpu.ops.pallas_convnext import (
+        convnext_block_fused_int8,
+        convnext_block_int8_oracle,
+    )
+
+    b, t, c, inter = 2, 256, 128, 256
+    mk = lambda *s, sc=0.1: jnp.asarray(rng.normal(size=s).astype(np.float32) * sc)
+    x = mk(b, t, c, sc=0.5)
+    dw, dwb = mk(7, c), mk(c)
+    lnw, lnb = jnp.ones(c), jnp.zeros(c)
+    w1, b1 = mk(c, inter, sc=0.05), mk(inter, sc=0.02)
+    w2, b2 = mk(inter, c, sc=0.05), mk(c, sc=0.02)
+    gamma = jnp.full((c,), 0.25)
+    args = (x, dw, dwb, lnw, lnb, w1, b1, w2, b2, gamma)
+
+    out = convnext_block_fused_int8(*args, t_tile=128, interpret=True)
+    oracle = convnext_block_int8_oracle(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
+                               atol=1e-5, rtol=1e-5)
+    # quantization error vs the f32 block stays small (dynamic per-row scales)
+    f32 = _ref(*args)
+    err = np.abs(np.asarray(out) - np.asarray(f32)).max() / np.abs(np.asarray(f32)).max()
+    assert err < 0.02, err
+
+
 def test_pick_tile():
     from optispeech_tpu.ops.pallas_convnext import pick_tile
 
-    assert pick_tile(1792) == 256
+    assert pick_tile(1792) == 896  # measured best for the trunk (int8_ab.py)
     assert pick_tile(1024) == 512
     assert pick_tile(128) == 128
     assert pick_tile(40) is None  # no legal tiling -> caller falls back
+    # VMEM bound: fat channels force a shorter tile instead of a Mosaic OOM,
+    # and channels whose weights alone exceed VMEM fall back to XLA entirely
+    assert pick_tile(1792, c=512, inter=2048) == 448
+    assert pick_tile(1792, c=1024, inter=4096) is None
 
 
 def test_backbone_fused_flag_matches_standard_path(rng, monkeypatch):
