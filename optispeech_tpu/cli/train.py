@@ -20,7 +20,8 @@ log = get_pylogger("optispeech_tpu.train")
 
 
 def build_loaders(cfg, synthetic: bool, overfit: int, limit: float,
-                  packed_train: str = None, packed_val: str = None):
+                  packed_train: str = None, packed_val: str = None,
+                  device_cache: bool = False, mesh=None):
     from ..data.datamodule import BucketedCollate, DataLoader, SyntheticDataset, TextWavDataset
 
     if packed_train:
@@ -41,6 +42,28 @@ def build_loaders(cfg, synthetic: bool, overfit: int, limit: float,
                 shard_id=jax.process_index(), num_shards=jax.process_count(),
             )
 
+        if device_cache:
+            # TPU-first input path: features live in HBM, the host ships only
+            # integer indices per step (data/device_cache.py). Validation
+            # stays on the host loader (it needs GT wavs for perceptual eval).
+            from ..data.device_cache import DeviceCacheLoader, DeviceFeatureCache
+
+            cache = DeviceFeatureCache(
+                packed_train, cfg.data.statistics,
+                f_min=cfg.generator.features.f_min, mesh=mesh,
+                text_bucket=cfg.data.text_bucket_size,
+                mel_bucket=cfg.data.mel_bucket_size,
+                max_text_len=cfg.data.max_text_len,
+                max_mel_len=cfg.data.max_mel_len,
+            )
+            train = DeviceCacheLoader(
+                cache, cfg.data.batch_size, cfg.data.text_bucket_size,
+                cfg.data.mel_bucket_size, shuffle=True, seed=cfg.data.seed,
+                max_text_len=cfg.data.max_text_len,
+                max_mel_len=cfg.data.max_mel_len,
+                shard_id=jax.process_index(), num_shards=jax.process_count(),
+            )
+            return train, (mk(packed_val, False) if packed_val else None)
         return mk(packed_train, True), (mk(packed_val, False) if packed_val else None)
 
     collate = BucketedCollate(
@@ -93,6 +116,10 @@ def main(argv=None):
     p.add_argument("--synthetic", action="store_true", help="use synthetic data (smoke)")
     p.add_argument("--packed-train", default=None, help="packed .pak train file (native loader)")
     p.add_argument("--packed-val", default=None)
+    p.add_argument("--device-cache", action="store_true",
+                   help="preload the packed train features into device memory "
+                        "once; each step ships only integer indices "
+                        "(data/device_cache.py — requires --packed-train)")
     p.add_argument("--fast-dev-run", action="store_true")
     p.add_argument("--overfit", type=int, default=0, help="overfit N batches")
     p.add_argument("--limit", type=float, default=1.0, help="fraction of train data")
@@ -155,9 +182,12 @@ def main(argv=None):
     from ..training.trainer import Trainer
 
     trainer = Trainer(cfg, out_dir=out_dir, debug_nans=args.debug_nans)
+    if args.device_cache and not args.packed_train:
+        p.error("--device-cache requires --packed-train")
     train_loader, val_loader = build_loaders(
         cfg, args.synthetic, args.overfit, args.limit,
         packed_train=args.packed_train, packed_val=args.packed_val,
+        device_cache=args.device_cache, mesh=trainer.mesh,
     )
     log.info(f"Training `{cfg.run_name}` -> {out_dir}")
     state = trainer.init_or_restore_state(forced_resume_from=args.forced_resume)

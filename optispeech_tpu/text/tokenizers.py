@@ -108,6 +108,32 @@ class RawIPATokenizer(BaseTokenizer):
         return self._encode_sentences(sentences, split_sentences), text
 
 
+class EnglishG2PTokenizer(BaseTokenizer):
+    """Self-contained English G2P (text/english.py): exception lexicon +
+    NRL-style letter-to-sound rules, emitting the same IPA inventory as the
+    espeak path — the role of reference tokenizers.py:84-98 without the
+    piper_phonemize C++ binding. American English only; `language` is
+    accepted for interface symmetry."""
+
+    name = "en-g2p"
+    input_symbols = symbols.SYMBOL_TO_ID
+    special_symbols = dict(pad=symbols.PAD, bos=symbols.BOS, eos=symbols.EOS)
+
+    _SENT_RE = __import__("re").compile(r"[^.!?]+[.!?]*")
+
+    def __call__(self, text: str, language: str = "en-us", *, split_sentences: bool = True):
+        from .english import phonemize_english
+
+        text = self.preprocess_text(text, language)
+        if split_sentences:
+            parts = [m.group(0).strip() for m in self._SENT_RE.finditer(text)]
+            parts = [p for p in parts if p] or [text]
+        else:
+            parts = [text]
+        sentences = [[phonemize_english(p)] for p in parts]
+        return self._encode_sentences(sentences, split_sentences), text
+
+
 class CharacterTokenizer(BaseTokenizer):
     """Grapheme fallback: lowercased characters restricted to the symbol set.
     No reference analogue; exists so the full pipeline runs without espeak.

@@ -28,11 +28,14 @@ from .state import TrainState, make_optimizer
 
 
 def make_train_step(cfg: ExperimentConfig, generator, discriminator, optimizer=None,
-                    donate: bool = False):
+                    donate: bool = False, jit: bool = True):
     """`donate=True` donates the TrainState buffers to the jit (params + both
     optimizer states update in place, halving their HBM footprint during the
     step). The caller must not reuse the old state afterwards — the Trainer
-    doesn't; unit tests that diff old vs new params keep donate=False."""
+    doesn't; unit tests that diff old vs new params keep donate=False.
+
+    `jit=False` returns the raw (untraced) step so a caller can compose it
+    inside a larger jitted function (make_cached_train_step)."""
     opt = optimizer or make_optimizer(cfg)
     hop = cfg.generator.features.hop_length
     pretraining_steps = cfg.train_args.pretraining_steps
@@ -104,7 +107,6 @@ def make_train_step(cfg: ExperimentConfig, generator, discriminator, optimizer=N
         }
         return loss, aux
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch: dict):
         rng, g_rng = jax.random.split(state.rng)
         train_disc = state.step // accum >= pretraining_steps
@@ -169,7 +171,31 @@ def make_train_step(cfg: ExperimentConfig, generator, discriminator, optimizer=N
         )
         return new_state, logs
 
+    if jit:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
     return train_step
+
+
+def make_cached_train_step(cfg: ExperimentConfig, generator, discriminator, cache,
+                           optimizer=None, donate: bool = False):
+    """Train step over a device-resident feature cache
+    (data/device_cache.DeviceFeatureCache).
+
+    The host ships only (idx, start_idx) integer vectors per step; batch
+    assembly (row gather + static slice + GT segment crop) runs on device
+    inside the same jit as the GAN update. t_text/t_mel are static (one
+    compiled variant per bucket pair, exactly like the host-assembled path)."""
+    base = make_train_step(cfg, generator, discriminator, optimizer,
+                           donate=False, jit=False)
+    segment_size = cfg.generator.segment_size
+
+    @partial(jax.jit, static_argnames=("t_text", "t_mel"),
+             donate_argnums=(0,) if donate else ())
+    def cached_step(state: TrainState, idx, start_idx, t_text: int, t_mel: int):
+        batch = cache.gather(idx, start_idx, t_text, t_mel, segment_size)
+        return base(state, batch)
+
+    return cached_step
 
 
 def make_val_step(cfg: ExperimentConfig, generator, discriminator):

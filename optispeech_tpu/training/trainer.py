@@ -246,7 +246,19 @@ class Trainer:
         from collections import deque
 
         inflight: deque = deque()
-        pipeline_depth = int(os.environ.get("OPTISPEECH_PIPELINE_DEPTH", "4"))
+        # device-cache loaders ship only ~1 KB/step of host buffers, so the
+        # throttle can run much deeper — each forced D2H carries a 0.3-0.6 s
+        # fixed tunnel cost, and deeper pipelining amortizes it
+        cache = getattr(train_loader, "cache", None)
+        if cache is not None:
+            from .step import make_cached_train_step
+
+            self._cached_step = make_cached_train_step(
+                self.cfg, self.generator, self.discriminator, cache, donate=True
+            )
+        pipeline_depth = int(os.environ.get(
+            "OPTISPEECH_PIPELINE_DEPTH", "32" if cache is not None else "4"
+        ))
         empty_passes = 0
 
         # preemption safety: TPU maintenance events deliver SIGTERM; set a
@@ -276,13 +288,24 @@ class Trainer:
                     saw_batch = True
                     if profile_steps and step == profile_steps[0]:
                         jax.profiler.start_trace(os.path.join(self.out_dir, "profile"))
-                    batch = shard_batch(
-                        self._segment_batch(self._device_batch(batch), step), self.mesh
-                    )
-                    state, logs = self.train_step(state, batch)
+                    if "idx" in batch:
+                        state, logs = self._cached_train_step(state, batch, step)
+                    else:
+                        batch = shard_batch(
+                            self._segment_batch(self._device_batch(batch), step),
+                            self.mesh,
+                        )
+                        state, logs = self.train_step(state, batch)
                     inflight.append(logs["total_loss/generator"])
                     if len(inflight) > pipeline_depth:
-                        jax.device_get(inflight.popleft())
+                        # one D2H acknowledges every earlier step on the
+                        # ordered stream: fetch the element pipeline_depth/2
+                        # back and drop everything up to it, amortizing the
+                        # fixed per-round-trip tunnel cost over depth/2 steps
+                        k = max(pipeline_depth // 2, 1)
+                        jax.device_get(inflight[k - 1])
+                        for _ in range(k):
+                            inflight.popleft()
                     if step % 50 == 0:
                         _malloc_trim()
                     if (rss_limit_kb and step % 25 == 0 and step > start_step
@@ -539,6 +562,25 @@ class Trainer:
             if k in ("x", "wav", "mel", "x_lengths", "wav_lengths", "mel_lengths",
                      "energies", "pitches", "sids", "lids")
         }
+
+    def _cached_train_step(self, state, light: dict, step: int):
+        """One step over a DeviceCacheLoader light batch: sample segment
+        starts on host (same rng stream as _segment_batch — deterministic
+        under resume), ship only (idx, start_idx), assemble on device."""
+        from ..ops.segments import host_sample_segment_starts
+
+        seg = min(self.cfg.generator.segment_size, light["t_mel"])
+        rng = np.random.default_rng(
+            (self.cfg.seed * 1_000_003 + jax.process_index() * 7919 + step) & 0x7FFFFFFF
+        )
+        start = host_sample_segment_starts(rng, light["mel_lengths"], seg)
+        sharded = shard_batch(
+            {"idx": light["idx"], "start_idx": start.astype(np.int32)}, self.mesh
+        )
+        return self._cached_step(
+            state, sharded["idx"], sharded["start_idx"],
+            t_text=light["t_text"], t_mel=light["t_mel"],
+        )
 
     def _segment_batch(self, batch: dict, step: int) -> dict:
         """Sample GAN segment starts on the host and ship only the GT crop.
