@@ -179,6 +179,179 @@ def synth_utterance(text: str, speaker: Speaker, language: Language,
     return (0.7 * wav / max(peak, 1e-6)).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# IPA-phone frontend: synthesize audio from the en-g2p tokenizer's IPA output
+# (text/english.py) so real English text drives a 1:1 phone->sound mapping —
+# the campaign then exercises the SAME symbol inventory the espeak path uses
+# (reference text/tokenizers.py:84-98).
+# ---------------------------------------------------------------------------
+
+# monophthong vowels: (F1, F2, F3); r-colored vowels get a lowered F3
+_IPA_VOWELS = {
+    "æ": (660.0, 1700.0, 2400.0), "ɑː": (750.0, 1100.0, 2500.0),
+    "ʌ": (620.0, 1200.0, 2400.0), "ə": (500.0, 1500.0, 2500.0),
+    "ɛ": (550.0, 1800.0, 2500.0), "ɪ": (400.0, 2000.0, 2600.0),
+    "iː": (300.0, 2300.0, 3000.0), "ʊ": (450.0, 1000.0, 2300.0),
+    "uː": (325.0, 700.0, 2300.0), "ɔː": (500.0, 850.0, 2400.0),
+    "ɜː": (490.0, 1350.0, 1690.0), "ɚ": (490.0, 1350.0, 1690.0),
+}
+# diphthongs: (start, end) formant targets, interpolated across the phone
+_IPA_DIPHTHONGS = {
+    "eɪ": ((500.0, 1900.0, 2500.0), (350.0, 2200.0, 2800.0)),
+    "aɪ": ((750.0, 1300.0, 2500.0), (400.0, 2100.0, 2700.0)),
+    "aʊ": ((750.0, 1300.0, 2500.0), (450.0, 900.0, 2300.0)),
+    "ɔɪ": ((500.0, 850.0, 2400.0), (400.0, 2100.0, 2700.0)),
+    "oʊ": ((460.0, 900.0, 2400.0), (350.0, 750.0, 2300.0)),
+}
+_IPA_FRICATIVES = {  # (lo, hi, voiced)
+    "s": (4000.0, 9000.0, False), "z": (4000.0, 9000.0, True),
+    "f": (2000.0, 7000.0, False), "v": (2000.0, 7000.0, True),
+    "θ": (3500.0, 8000.0, False), "ð": (3500.0, 8000.0, True),
+    "ʃ": (2000.0, 6000.0, False), "ʒ": (2000.0, 6000.0, True),
+    "h": (500.0, 3000.0, False),
+}
+_IPA_STOPS = {"p": 1200.0, "b": 700.0, "t": 4500.0, "d": 3000.0,
+              "k": 2500.0, "ɡ": 2000.0}
+_IPA_AFFRICATES = {"tʃ": (2000.0, 6000.0, False), "dʒ": (2000.0, 6000.0, True)}
+# sonorant consonants: formant-like voiced resonances
+_IPA_SONORANTS = {
+    "m": (280.0, 900.0, 2200.0), "n": (320.0, 1100.0, 2400.0),
+    "ŋ": (350.0, 1300.0, 2300.0), "l": (400.0, 1100.0, 2600.0),
+    "ɹ": (450.0, 1200.0, 1600.0), "w": (350.0, 750.0, 2300.0),
+    "j": (300.0, 2200.0, 3000.0),
+}
+
+_IPA_MULTI = sorted(
+    list(_IPA_DIPHTHONGS) + list(_IPA_AFFRICATES) + ["ɑː", "iː", "uː", "ɔː", "ɜː"],
+    key=len, reverse=True,
+)
+
+
+def parse_ipa(ipa: str) -> list[str]:
+    """Split an IPA string into phones (multi-char units first); stress marks
+    and unknown symbols are dropped; spaces become pause phones."""
+    phones, i = [], 0
+    while i < len(ipa):
+        for m in _IPA_MULTI:
+            if ipa.startswith(m, i):
+                phones.append(m)
+                i += len(m)
+                break
+        else:
+            ch = ipa[i]
+            if ch == " ":
+                phones.append(" ")
+            elif (ch in _IPA_VOWELS or ch in _IPA_FRICATIVES or ch in _IPA_STOPS
+                  or ch in _IPA_SONORANTS):
+                phones.append(ch)
+            # else: stress mark / length mark / unknown -> drop
+            i += 1
+    return phones
+
+
+def synth_utterance_ipa(ipa: str, speaker: Speaker, language: Language,
+                        sr: int = 24000, seed: int = 0,
+                        f0_scale: float = 1.0) -> np.ndarray:
+    """Render an IPA phoneme string (en-g2p output) to formant audio with a
+    1:1 phone->sound mapping; same speaker/F0 model as `synth_utterance`."""
+    rng = np.random.default_rng(seed)
+    pieces = []
+    phones = parse_ipa(ipa)
+    n_ph = max(len(phones), 1)
+    for i, ph in enumerate(phones):
+        progress = i / n_ph
+        dur_ms = language.phone_ms * rng.uniform(0.75, 1.3)
+        if ph in _IPA_VOWELS or ph in _IPA_DIPHTHONGS:
+            dur_ms *= 1.2
+        elif ph in _IPA_STOPS:
+            dur_ms *= 0.7
+        if i >= n_ph - 2:
+            dur_ms *= 1.35
+        n = int(sr * dur_ms / 1000.0)
+        if ph == " ":
+            pieces.append(np.zeros(int(n * 0.8), np.float32))
+            continue
+        f0 = speaker.f0_base * f0_scale * (1.12 - 0.2 * progress)
+        t = np.arange(n) / sr
+        f0_curve = f0 * (1.0
+                         + speaker.vibrato_depth
+                         * np.sin(2 * np.pi * speaker.vibrato_hz * t)
+                         + 0.004 * rng.standard_normal(n).cumsum() / np.sqrt(n))
+        fs = speaker.formant_scale
+        if ph in _IPA_VOWELS:
+            formants = tuple(f / fs for f in _IPA_VOWELS[ph])
+            seg = _voiced_segment(n, sr, f0_curve, formants, rng)
+            seg *= _env(n, 0.12, 0.18) * 0.55
+        elif ph in _IPA_DIPHTHONGS:
+            start, end = _IPA_DIPHTHONGS[ph]
+            chunks = []
+            for k in range(3):  # 3-step formant glide
+                a = k / 2.0
+                fmt = tuple((s * (1 - a) + e * a) / fs for s, e in zip(start, end))
+                nk = n // 3 if k < 2 else n - 2 * (n // 3)
+                chunks.append(_voiced_segment(nk, sr, f0_curve[:nk], fmt, rng))
+            seg = np.concatenate(chunks)
+            seg *= _env(n, 0.12, 0.18) * 0.55
+        elif ph in _IPA_FRICATIVES:
+            lo, hi, voiced = _IPA_FRICATIVES[ph]
+            seg = _noise_segment(n, sr, lo / fs, hi / fs, rng) * 0.18
+            if voiced:
+                seg = seg * 0.6 + 0.25 * _voiced_segment(
+                    n, sr, f0_curve, (300.0 / fs, 1400.0 / fs, 2500.0 / fs), rng)
+            seg *= _env(n, 0.3, 0.3)
+        elif ph in _IPA_AFFRICATES:
+            lo, hi, voiced = _IPA_AFFRICATES[ph]
+            gap = np.zeros(int(n * 0.4), np.float32)
+            nb = max(n - len(gap), 8)
+            burst = _noise_segment(nb, sr, lo / fs, hi / fs, rng) * 0.25
+            if voiced:
+                burst = burst * 0.7 + 0.2 * _voiced_segment(
+                    nb, sr, f0_curve[:nb], (300.0 / fs, 1400.0 / fs, 2500.0 / fs), rng)
+            seg = np.concatenate([gap, burst * _env(nb, 0.05, 0.5)])
+        elif ph in _IPA_STOPS:
+            gap = np.zeros(int(n * 0.55), np.float32)
+            nb = max(n - len(gap), 8)
+            fc = _IPA_STOPS[ph] / fs
+            burst = _noise_segment(nb, sr, fc * 0.6, fc * 1.6, rng)
+            seg = np.concatenate([gap, burst * _env(nb, 0.02, 0.7) * 0.3])
+        elif ph in _IPA_SONORANTS:
+            formants = tuple(f / fs for f in _IPA_SONORANTS[ph])
+            seg = _voiced_segment(n, sr, f0_curve, formants, rng)
+            seg *= _env(n, 0.2, 0.2) * 0.4
+        else:  # unreachable after parse_ipa, defensive schwa
+            formants = tuple(f / fs for f in (500.0, 1500.0, 2500.0))
+            seg = _voiced_segment(n, sr, f0_curve, formants, rng)
+            seg *= _env(n, 0.15, 0.2) * 0.45
+        pieces.append(seg.astype(np.float32))
+    wav = np.concatenate(pieces) if pieces else np.zeros(sr // 10, np.float32)
+    wav = wav + 1e-4 * rng.standard_normal(len(wav)).astype(np.float32)
+    peak = np.abs(wav).max()
+    return (0.7 * wav / max(peak, 1e-6)).astype(np.float32)
+
+
+# real-English word pools for the en-g2p frontend; the two "languages" use
+# disjoint vocabulary + tempo so language ids still carry signal
+_EN_WORDS_A = (
+    "the water was ready and the morning light came over the hill "
+    "she said the answer to the question was simple people walk and talk "
+    "about the world every day a good book takes time to read the young "
+    "children play near the old stone house think of a number between one "
+    "and ten"
+).split()
+_EN_WORDS_B = (
+    "money moves fast in the city market friends gather round the warm "
+    "fire to share food and stories the teacher wrote seven words on the "
+    "board this train leaves early so bring your coat work hard learn "
+    "much and rest well the river runs south past the green field"
+).split()
+
+
+def random_english_text(language: Language, rng, n_words=(3, 7)) -> str:
+    pool = _EN_WORDS_A if language.name.startswith("en") else _EN_WORDS_B
+    k = int(rng.integers(n_words[0], n_words[1] + 1))
+    return " ".join(pool[int(rng.integers(len(pool)))] for _ in range(k))
+
+
 def random_text(language: Language, rng, n_words=(3, 7)) -> str:
     words = []
     for _ in range(rng.integers(n_words[0], n_words[1] + 1)):
@@ -194,7 +367,7 @@ def random_text(language: Language, rng, n_words=(3, 7)) -> str:
 def generate_corpus(out_dir: str, n_utterances: int = 600,
                     speakers=DEFAULT_SPEAKERS, languages=DEFAULT_LANGUAGES,
                     sr: int = 24000, seed: int = 0,
-                    f0_jitter: float = 0.08) -> dict:
+                    f0_jitter: float = 0.08, frontend: str = "char") -> dict:
     """Write wavs/ + 4-column metadata.csv (file_id|speaker|lang|text), the
     exact layout cli/preprocess.py consumes. Returns a manifest dict.
 
@@ -202,7 +375,12 @@ def generate_corpus(out_dir: str, n_utterances: int = 600,
     2 sigma by default): speaker medians stay separated while within-speaker
     spread forces the pitch pathway to carry signal (see synth_utterance);
     0.0 reproduces the round-3 fixed-F0 corpus. Per-utterance scales are
-    recorded in the manifest for F0-check layers."""
+    recorded in the manifest for F0-check layers.
+
+    `frontend`: "char" renders the legacy pseudo-word corpus (deterministic
+    char->sound); "en-g2p" samples REAL English text and renders audio from
+    the en-g2p tokenizer's IPA phones (synth_utterance_ipa), so the trained
+    model's text frontend is the IPA inventory itself."""
     from ..utils.wavio import save_wav
 
     out = Path(out_dir)
@@ -210,13 +388,20 @@ def generate_corpus(out_dir: str, n_utterances: int = 600,
     rng = np.random.default_rng(seed)
     rows = []
     f0_scales = {}
+    if frontend == "en-g2p":
+        from ..text.english import phonemize_english
     for i in range(n_utterances):
         spk = speakers[i % len(speakers)]
         lang = languages[(i // len(speakers)) % len(languages)]
-        text = random_text(lang, rng)
         f0_scale = float(np.exp(f0_jitter * rng.standard_normal())) if f0_jitter else 1.0
-        wav = synth_utterance(text, spk, lang, sr=sr, seed=seed + i,
-                              f0_scale=f0_scale)
+        if frontend == "en-g2p":
+            text = random_english_text(lang, rng)
+            wav = synth_utterance_ipa(phonemize_english(text), spk, lang,
+                                      sr=sr, seed=seed + i, f0_scale=f0_scale)
+        else:
+            text = random_text(lang, rng)
+            wav = synth_utterance(text, spk, lang, sr=sr, seed=seed + i,
+                                  f0_scale=f0_scale)
         fid = f"utt{i:05d}"
         save_wav(str(out / "wavs" / f"{fid}.wav"), wav, sr)
         rows.append(f"{fid}|{spk.name}|{lang.name}|{text}")
@@ -230,6 +415,7 @@ def generate_corpus(out_dir: str, n_utterances: int = 600,
         "languages": [l.name for l in languages],
         "seed": seed,
         "f0_jitter": f0_jitter,
+        "frontend": frontend,
         "f0_scales": f0_scales,
     }
     (out / "manifest.json").write_text(json.dumps(manifest, indent=2))
@@ -247,9 +433,13 @@ def main(argv=None):
     p.add_argument("--f0-jitter", type=float, default=0.08,
                    help="sigma of the lognormal per-utterance F0 scale "
                         "(0 = fixed per-speaker F0, the round-3 corpus)")
+    p.add_argument("--frontend", default="char", choices=("char", "en-g2p"),
+                   help="char = legacy pseudo-words; en-g2p = real English "
+                        "text rendered from the G2P's IPA phones")
     args = p.parse_args(argv)
     m = generate_corpus(args.out_dir, args.n_utterances, sr=args.sample_rate,
-                        seed=args.seed, f0_jitter=args.f0_jitter)
+                        seed=args.seed, f0_jitter=args.f0_jitter,
+                        frontend=args.frontend)
     print(json.dumps(m))
 
 

@@ -66,7 +66,7 @@ def stage_corpus(work: Path, n_utt: int, log):
     if (corpus / "metadata.csv").exists():
         return corpus
     run([sys.executable, "-m", "optispeech_tpu.data.synthcorpus", corpus,
-         "--n-utterances", n_utt], cpu=True, log_path=log)
+         "--n-utterances", n_utt, "--frontend", "en-g2p"], cpu=True, log_path=log)
     return corpus
 
 
@@ -112,6 +112,7 @@ def stage_train(work: Path, pre: Path, train_pak, val_pak, stats, max_steps, log
     run([sys.executable, "-m", "optispeech_tpu.cli.train",
          "--config", "campaign-ms",
          "--packed-train", train_pak, "--packed-val", val_pak,
+         "--device-cache",
          "--out-dir", out_dir, "--max-steps", max_steps,
          "--no-print-config",
          f"data.train_filelist_path={pre / 'train.txt'}",
@@ -121,8 +122,33 @@ def stage_train(work: Path, pre: Path, train_pak, val_pak, stats, max_steps, log
     return out_dir
 
 
-def audit_metrics(out_dir: Path) -> dict:
-    """Every val metric must move across evals (VERDICT r2 weak 1)."""
+# metrics where HIGHER is better; everything else (losses, mcd, rmse) is
+# lower-better. synth_wav_delta is a change diagnostic with no direction.
+_HIGHER_BETTER = ("val/f1_score", "val/stoi", "val/pesq", "val/utmos")
+_NO_DIRECTION = ("val/synth_wav_delta",)
+# the AM sublosses that must end flat-or-better than their value when the
+# discriminator turned on (VERDICT r3 weak 1): the adversarial term must not
+# buy its fall by degrading the acoustic model
+_AM_GATE = (
+    "total_loss/val_am_loss",
+    "gen_subloss/val_align_loss",
+    "gen_subloss/val_duration_loss",
+    "gen_subloss/val_pitch_loss",
+    "gen_subloss/val_energy_loss",
+)
+# absolute quality targets at the end of the run (VERDICT r3 weak 2;
+# calibrated from the r3 run: mcd 82.8 / stoi 0.42 at 20k fixed-F0 steps)
+_QUALITY_TARGETS = {"val/mcd": ("<=", 75.0), "val/stoi": (">=", 0.45)}
+
+
+def audit_metrics(out_dir: Path, disc_on_step: int = 500) -> dict:
+    """Direction-aware per-metric audit (VERDICT r3 item 6).
+
+    For every val metric: {first, at_disc_on, last, direction, pass}.
+    `pass` means: the metric moved, AND (for AM-gate sublosses) it ends
+    flat-or-better (<= +2%) than its value at the eval where the
+    discriminator turned on, AND (for quality-target metrics) it meets the
+    absolute target."""
     import csv as _csv
     from collections import defaultdict
 
@@ -133,18 +159,61 @@ def audit_metrics(out_dir: Path) -> dict:
                 series[row["metric"]].append((int(row["step"]), float(row["value"])))
     audit = {}
     for metric, pts in sorted(series.items()):
+        pts.sort()
         vals = [v for _, v in pts]
-        audit[metric] = {
+        at_disc = next((v for s, v in pts if s >= disc_on_step), vals[-1])
+        moves = len(set(vals)) > 1 or len(vals) < 2
+        if metric in _NO_DIRECTION:
+            direction, ok = "n/a", moves
+        else:
+            higher_better = metric in _HIGHER_BETTER
+            rel = (vals[-1] - at_disc) / max(abs(at_disc), 1e-9)
+            if abs(rel) <= 0.02:
+                direction = "flat"
+            else:
+                direction = "improving" if (rel < 0) != higher_better else "regressing"
+            ok = moves
+            if metric in _AM_GATE:
+                ok = ok and direction != "regressing"
+            if metric in _QUALITY_TARGETS:
+                op, target = _QUALITY_TARGETS[metric]
+                met = vals[-1] <= target if op == "<=" else vals[-1] >= target
+                audit_target = f"{op} {target}"
+            else:
+                met, audit_target = None, None
+        entry = {
             "n_evals": len(vals),
             "first": vals[0],
+            "at_disc_on": at_disc,
             "last": vals[-1],
-            # a single-point series (e.g. synth_wav_delta starts at eval 2)
-            # cannot move; only flag genuinely frozen multi-eval series
-            "moves": len(set(vals)) > 1 or len(vals) < 2,
+            "direction": direction,
+            "moves": moves,
             "min": min(vals),
             "max": max(vals),
+            "pass": ok,
         }
+        if metric in _QUALITY_TARGETS:
+            entry["quality_target"] = audit_target
+            entry["quality_met"] = met
+        audit[metric] = entry
     return audit
+
+
+def quality_verdict(audit: dict) -> tuple[bool, list[str]]:
+    """Red/green verdict for the campaign: AM gate + quality targets."""
+    failures = []
+    for m in _AM_GATE:
+        if m in audit and audit[m]["direction"] == "regressing":
+            failures.append(
+                f"{m}: {audit[m]['at_disc_on']:.4g} -> {audit[m]['last']:.4g} "
+                f"(regressing after disc-on)"
+            )
+    for m, (op, target) in _QUALITY_TARGETS.items():
+        if m in audit and audit[m].get("quality_met") is False:
+            failures.append(f"{m}: last {audit[m]['last']:.4g} misses target {op} {target}")
+    frozen = [m for m, a in audit.items() if not a["moves"]]
+    failures.extend(f"{m}: frozen" for m in frozen)
+    return (not failures), failures
 
 
 def stage_speaker_check(work: Path, out_dir: Path, corpus: Path, log) -> Path:
@@ -169,7 +238,15 @@ from scipy.signal import resample_poly
 manifest = json.load(open({str(corpus / "manifest.json")!r}))
 api = OptiSpeech.load_from_checkpoint({str(out_dir / "inference_ckpt")!r})
 stats = api.cfg.data.statistics
-text = "dake mito nasebo kuna seta"
+if manifest.get("frontend") == "en-g2p":
+    from optispeech_tpu.text.english import phonemize_english
+    text = "the water was ready in the morning light"
+    def gt_synth(spk, lang, sr):
+        return _sc.synth_utterance_ipa(phonemize_english(text), spk, lang, sr=sr, seed=7)
+else:
+    text = "dake mito nasebo kuna seta"
+    def gt_synth(spk, lang, sr):
+        return _sc.synth_utterance(text, spk, lang, sr=sr, seed=7)
 out = {{}}
 
 def track(wav, sr):
@@ -196,8 +273,7 @@ for sid, name in enumerate(manifest["speakers"]):
     # CONTROL: the same tracker on a ground-truth utterance for this speaker
     # (formant synthesis is deterministic) — separates "tracker can't read the
     # corpus" from "the model's waveform lacks this speaker's pitch"
-    gt_med, gt_vf = track(_sc.synth_utterance(text, spk_by_name[name], lang0,
-                                              sr=sr, seed=7), sr)
+    gt_med, gt_vf = track(gt_synth(spk_by_name[name], lang0, sr), sr)
     # the model's own pitch-predictor output for this sid, denormalized to Hz
     # — conditioning evidence independent of waveform rendering quality
     pred = np.asarray(res.pitch)[0] * stats.pitch_std + stats.pitch_mean
@@ -280,11 +356,11 @@ def post(payload, path="/synthesise"):
         body = r.read()
     return (time.perf_counter() - t0) * 1e3, body
 
-post({{"text": "dake mito nasebo kuna seta", "speaker": 0, "format": "json"}})  # warm-up/compile
+post({{"text": "the water was ready in the morning", "speaker": 0, "format": "json"}})  # warm-up/compile
 out = {{}}
 sr = model.sample_rate
 for sid, name in enumerate(manifest["speakers"]):
-    wall_ms, body = post({{"text": "dake mito nasebo kuna seta",
+    wall_ms, body = post({{"text": "the water was ready in the morning",
                            "speaker": sid, "format": "json",
                            "d_factor": 1.0, "p_factor": 1.0, "e_factor": 1.0}})
     obj = json.loads(body)
@@ -302,7 +378,7 @@ for sid, name in enumerate(manifest["speakers"]):
         "truncated": obj["truncated"],
     }}
 # streaming from the artifact
-wall_ms, body = post({{"text": "dake mito nasebo"}}, path="/stream")
+wall_ms, body = post({{"text": "the water was ready"}}, path="/stream")
 out["_stream"] = {{"bytes": len(body), "wall_ms": wall_ms}}
 with urllib.request.urlopen(base + "/health", timeout=30) as r:
     out["_health"] = json.load(r)
@@ -323,7 +399,11 @@ def main(argv=None):
     )
     p.add_argument("--n-utterances", type=int, default=600)
     p.add_argument("--max-steps", type=int, default=3000)
-    p.add_argument("--evidence-dir", default=str(REPO / "docs/evidence/campaign_r3"))
+    p.add_argument("--evidence-dir", default=str(REPO / "docs/evidence/campaign_r4"))
+    p.add_argument("--disc-on-step", type=int, default=500,
+                   help="optimizer step where the discriminator turns on "
+                        "(train_args.pretraining_steps) — anchors the "
+                        "direction-aware AM-subloss gate")
     p.add_argument("overrides", nargs="*",
                    help="extra dotted config overrides passed to the train CLI")
     args = p.parse_args(argv)
@@ -339,11 +419,16 @@ def main(argv=None):
     out_dir = stage_train(work, pre, train_pak, val_pak, stats,
                           args.max_steps, log, overrides=args.overrides)
 
-    audit = audit_metrics(out_dir)
-    frozen = [m for m, a in audit.items() if not a["moves"]]
+    audit = audit_metrics(out_dir, disc_on_step=args.disc_on_step)
     print(json.dumps(audit, indent=2))
-    if frozen:
-        print(f"WARNING: frozen val metrics: {frozen}")
+    ok, failures = quality_verdict(audit)
+    if ok:
+        print("QUALITY GATE: PASS (AM sublosses flat-or-better after disc-on; "
+              "quality targets met)")
+    else:
+        print("QUALITY GATE: FAIL")
+        for f in failures:
+            print(f"  - {f}")
 
     f0_check = stage_speaker_check(work, out_dir, corpus, log)
     artifact = stage_export(work, out_dir, log)
@@ -362,6 +447,9 @@ def main(argv=None):
         "max_steps": args.max_steps,
         "n_utterances": args.n_utterances,
         "overrides": args.overrides,
+        "disc_on_step": args.disc_on_step,
+        "quality_gate": "PASS" if ok else "FAIL",
+        "quality_failures": failures,
         "finished_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }, indent=2))
     print(f"campaign complete; evidence -> {ev}")

@@ -74,6 +74,56 @@ def test_generate_corpus_records_f0_scales(tmp_path):
     assert all(v == 1.0 for v in m0["f0_scales"].values())
 
 
+def test_ipa_frontend_speakers_separated_and_voicing_mixed():
+    """en-g2p frontend: real English text -> IPA -> formant audio keeps the
+    per-speaker F0 separation and non-degenerate voicing the campaign's
+    checks rely on."""
+    from optispeech_tpu.data.dsp import autocorr_pitch
+    from optispeech_tpu.data.synthcorpus import synth_utterance_ipa
+    from optispeech_tpu.text.english import phonemize_english
+    from scipy.signal import resample_poly
+
+    ipa = phonemize_english("the quick brown fox jumps over the lazy dog")
+    medians = []
+    for spk in DEFAULT_SPEAKERS:
+        wav = synth_utterance_ipa(ipa, spk, DEFAULT_LANGUAGES[0], seed=5)
+        w16 = resample_poly(wav.astype(np.float64), 2, 3).astype(np.float32)
+        f0 = autocorr_pitch(w16, 16000, 160, len(w16) // 160, interpolate=False)
+        voiced = f0[f0 > 0]
+        frac = (f0 > 0).mean()
+        assert 0.3 < frac < 0.97, f"{spk.name}: degenerate voicing {frac}"
+        med = float(np.median(voiced))
+        assert abs(med - spk.f0_base) < 0.15 * spk.f0_base, (spk.name, med)
+        medians.append(med)
+    assert all(b > a * 1.15 for a, b in zip(medians, medians[1:])), medians
+
+
+def test_ipa_frontend_corpus_preprocesses_with_en_g2p_tokenizer(tmp_path):
+    """generate_corpus(frontend='en-g2p') + the en-g2p tokenizer run through
+    the full preprocess pipeline (the round-4 campaign path)."""
+    from optispeech_tpu.data.preprocess import FeatureExtractor, preprocess_dataset
+    from optispeech_tpu.text import TextProcessor
+    from optispeech_tpu.config import TextProcessorConfig
+
+    out = tmp_path / "corpus"
+    manifest = generate_corpus(str(out), n_utterances=8, seed=0, frontend="en-g2p")
+    assert manifest["frontend"] == "en-g2p"
+    # texts are real English words
+    lines = (out / "metadata.csv").read_text().strip().splitlines()
+    assert all(t.split("|")[3].replace(" ", "").isalpha() for t in lines)
+
+    tp = TextProcessor.from_config(TextProcessorConfig(
+        tokenizer="en-g2p", languages=("en-us", "de")))
+    fe = FeatureExtractor(features=FeatureConfig(), pitch_extractor="autocorr")
+    train, val = preprocess_dataset(str(out), str(tmp_path / "pre"), tp, fe,
+                                    val_fraction=0.25, num_workers=1)
+    assert len(train) + len(val) == 8
+    import json
+
+    one = json.load(open(train[0] + ".json"))
+    assert len(one["phoneme_ids"]) > 5
+
+
 def test_generate_corpus_layout_and_preprocess_compat(tmp_path):
     """metadata.csv is the 4-column layout cli/preprocess.py consumes and the
     full preprocess pipeline runs on it (sid/lid maps included)."""
