@@ -141,8 +141,15 @@ def main():
         device_time = wall_time  # profiler unavailable: fall back, stay honest
     xrt = audio_secs / device_time
 
-    # D2H cost (tunnel): fetch the full waveform batch once, as 16-bit PCM
-    # computed on device (the serving wire format — half the f32 bytes)
+    # D2H cost (tunnel): fetch the full waveform batch once in each serving
+    # wire format computed on device — µ-law (8-bit, quarter of f32) is the
+    # headline wire; pcm16 and f32 stay for comparison
+    out8 = api.synthesise_on_device(inputs, n_frames, mulaw=True)
+    jax.block_until_ready(out8)
+    t0 = time.perf_counter()
+    mulaw_host = np.asarray(out8["wav_mulaw"])
+    d2h_mulaw_time = time.perf_counter() - t0
+    assert mulaw_host.dtype == np.uint8
     out16 = api.synthesise_on_device(inputs, n_frames, pcm16=True)
     jax.block_until_ready(out16)
     t0 = time.perf_counter()
@@ -153,6 +160,13 @@ def main():
     wav_f32_host = np.asarray(out["wav"])
     d2h_f32_time = time.perf_counter() - t0
     assert np.isfinite(wav_f32_host).all()
+    # wire fidelity: µ-law round-trip SNR vs the f32 waveform (sanity floor)
+    from optispeech_tpu.ops.mulaw import mulaw_decode
+
+    dec = mulaw_decode(mulaw_host)
+    err = dec - np.clip(wav_f32_host, -1, 1)
+    sig_pow = float((np.clip(wav_f32_host, -1, 1) ** 2).mean())
+    mulaw_snr_db = 10.0 * np.log10(sig_pow / max(float((err ** 2).mean()), 1e-12))
 
     frames = float(np.asarray(out["y_lengths"]).sum())
     result = {
@@ -168,9 +182,14 @@ def main():
             "wall_seconds_per_call_incl_tunnel_sync": round(wall_time, 6),
             "best_wall_seconds_per_call": round(best_wall, 6),
             "x_realtime_wall_incl_tunnel": round(audio_secs / wall_time, 2),
+            "d2h_seconds_tunnel_mulaw": round(d2h_mulaw_time, 4),
             "d2h_seconds_tunnel_pcm16": round(d2h_time, 4),
             "d2h_seconds_tunnel_f32": round(d2h_f32_time, 4),
-            "x_realtime_incl_tunnel_d2h": round(audio_secs / (wall_time + d2h_time), 2),
+            "mulaw_round_trip_snr_db": round(float(mulaw_snr_db), 2),
+            # headline tunnel-inclusive number rides the µ-law serving wire
+            # (8-bit, device-encoded); pcm16 kept for round-over-round compare
+            "x_realtime_incl_tunnel_d2h": round(audio_secs / (wall_time + d2h_mulaw_time), 2),
+            "x_realtime_incl_tunnel_d2h_pcm16": round(audio_secs / (wall_time + d2h_time), 2),
             "compute_dtype": "bfloat16",
             "decoder_vocoder_blocks": "pallas_fused",
             "xla_wall_seconds_per_call": round(xla_wall, 6),

@@ -24,9 +24,22 @@ Sweep spec YAML:
       scheduler.warmup_steps: {int_uniform: [100, 2000]}
       generator.decoder.num_layers: {choice: [2, 4, 6]}
       train_args.pretraining_steps: {uniform: [100.0, 1000.0]}
+    pruning:                      # optional early stopping (VERDICT r3 item 7)
+      enabled: true               # median stopping rule over partial curves
+      min_evals: 2                # evals before a trial is prunable
+      min_completed: 2            # completed trials before pruning activates
+      poll_s: 5                   # metrics.jsonl poll interval
+
+Trial pruning is the median stopping rule (Golovin et al. 2017): a running
+trial is SIGTERMed (the trainer checkpoints and exits cleanly) once its
+best-objective-so-far is worse than the median of completed trials at the
+same eval index. `--resume` continues an interrupted sweep: completed trials
+are loaded from sweep_results.jsonl and the seeded sampler replays the same
+draws, so the remaining trials get their original parameters.
 
 Usage:
     optispeech-tpu-sweep SPEC.yaml --out-dir sweeps/lr_search
+    optispeech-tpu-sweep SPEC.yaml --out-dir sweeps/lr_search --resume
     optispeech-tpu-sweep SPEC.yaml --out-dir sweeps/lr_search --report
 """
 
@@ -37,6 +50,7 @@ import os
 import random
 import subprocess
 import sys
+import time
 
 import yaml
 
@@ -73,18 +87,54 @@ def sample_space(space: dict, rnd: random.Random) -> dict:
 
 def read_objective(out_dir: str, metric: str):
     """Last value of `metric` in the trial's metrics.jsonl (None if absent)."""
+    curve = objective_curve(out_dir, metric)
+    return curve[-1] if curve else None
+
+
+def objective_curve(out_dir: str, metric: str) -> list[float]:
+    """All values of `metric` in eval order from the trial's metrics.jsonl
+    (possibly mid-run — the pruner polls this)."""
     path = os.path.join(out_dir, "metrics.jsonl")
-    value = None
+    curve = []
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
-                row = json.loads(line)
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    break  # a partially-written trailing line mid-run
                 if metric in row:
-                    value = float(row[metric])
-    return value
+                    curve.append(float(row[metric]))
+    return curve
 
 
-def run_trial(i: int, spec: dict, draw: dict, trial_dir: str) -> dict:
+def should_prune(curve: list[float], completed_curves: list[list[float]],
+                 direction: str = "min", min_evals: int = 2,
+                 min_completed: int = 2) -> bool:
+    """Median stopping rule (Golovin et al. 2017, Google Vizier): prune a
+    running trial whose best-objective-so-far at eval k is worse than the
+    median of the completed trials' best-so-far at the same eval index.
+    Conservative gates: at least `min_evals` evals observed and at least
+    `min_completed` completed comparison curves long enough at k."""
+    k = len(curve)
+    if k < min_evals:
+        return False
+    sign = 1.0 if direction == "min" else -1.0
+    best_here = min(sign * v for v in curve)
+    peers = [
+        min(sign * v for v in c[:k])
+        for c in completed_curves
+        if len(c) >= k
+    ]
+    if len(peers) < min_completed:
+        return False
+    peers.sort()
+    median = peers[len(peers) // 2]
+    return best_here > median
+
+
+def run_trial(i: int, spec: dict, draw: dict, trial_dir: str,
+              completed_curves: list | None = None) -> dict:
     overrides = list(spec.get("overrides", [])) + [
         f"{k}={v}" for k, v in draw.items()
     ]
@@ -102,14 +152,42 @@ def run_trial(i: int, spec: dict, draw: dict, trial_dir: str) -> dict:
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     env = dict(os.environ)
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
-    value = read_objective(trial_dir, spec.get("objective", "total_loss/val_total"))
-    if proc.returncode != 0:
-        log.warning(f"trial {i} failed rc={proc.returncode}: "
-                    f"{proc.stderr.strip().splitlines()[-1] if proc.stderr.strip() else ''}")
+
+    metric = spec.get("objective", "total_loss/val_total")
+    direction = spec.get("direction", "min")
+    prune_cfg = spec.get("pruning") or {}
+    prune = bool(prune_cfg.get("enabled", False)) and completed_curves is not None
+    pruned = False
+    with open(os.path.join(os.path.dirname(trial_dir) or ".",
+                           f"_trial_{i:03d}.log"), "wb") as sink:
+        proc = subprocess.Popen(cmd, stdout=sink, stderr=subprocess.STDOUT, env=env)
+        if prune:
+            poll_s = float(prune_cfg.get("poll_s", 5.0))
+            min_evals = int(prune_cfg.get("min_evals", 2))
+            min_completed = int(prune_cfg.get("min_completed", 2))
+            while proc.poll() is None:
+                time.sleep(poll_s)
+                curve = objective_curve(trial_dir, metric)
+                if should_prune(curve, completed_curves, direction,
+                                min_evals=min_evals, min_completed=min_completed):
+                    log.info(f"trial {i}: pruned at eval {len(curve)} "
+                             f"(median stopping rule)")
+                    proc.terminate()  # SIGTERM -> trainer checkpoints + exits
+                    try:
+                        proc.wait(timeout=120)
+                    except subprocess.TimeoutExpired:
+                        proc.kill()
+                        proc.wait()
+                    pruned = True
+                    break
+        proc.wait()
+    value = read_objective(trial_dir, metric)
+    if proc.returncode != 0 and not pruned:
+        log.warning(f"trial {i} failed rc={proc.returncode}")
     return {
         "trial": i, "params": draw, "objective": value,
-        "returncode": proc.returncode, "out_dir": trial_dir,
+        "returncode": 0 if pruned else proc.returncode, "pruned": pruned,
+        "out_dir": trial_dir,
     }
 
 
@@ -127,11 +205,16 @@ def main(argv=None):
     p.add_argument("--out-dir", required=True)
     p.add_argument("--report", action="store_true",
                    help="just re-print results from a finished sweep")
+    p.add_argument("--resume", action="store_true",
+                   help="skip trials already recorded in sweep_results.jsonl "
+                        "(same seed replays the identical parameter draws, so "
+                        "an interrupted sweep continues where it stopped)")
     args = p.parse_args(argv)
 
     with open(args.spec) as f:
         spec = yaml.safe_load(f)
     direction = spec.get("direction", "min")
+    metric = spec.get("objective", "total_loss/val_total")
     results_path = os.path.join(args.out_dir, "sweep_results.jsonl")
 
     if args.report:
@@ -139,21 +222,37 @@ def main(argv=None):
             results = [json.loads(l) for l in f]
     else:
         os.makedirs(args.out_dir, exist_ok=True)
-        if os.path.exists(results_path):
-            # a fresh sweep must not mix with a previous run's trials
-            # (duplicate trial indices would corrupt --report / best_of)
-            os.replace(results_path, results_path + ".old")
-            log.info(f"previous results moved to {results_path}.old")
-        rnd = random.Random(spec.get("seed", 0))
         results = []
+        if os.path.exists(results_path):
+            if args.resume:
+                with open(results_path) as f:
+                    results = [json.loads(l) for l in f]
+                log.info(f"resuming: {len(results)} completed trials loaded")
+            else:
+                # a fresh sweep must not mix with a previous run's trials
+                # (duplicate trial indices would corrupt --report / best_of)
+                os.replace(results_path, results_path + ".old")
+                log.info(f"previous results moved to {results_path}.old")
+        done = {r["trial"] for r in results}
+        rnd = random.Random(spec.get("seed", 0))
         for i in range(int(spec.get("trials", 8))):
+            # draw unconditionally: the seeded stream replays the same
+            # parameters for completed trials, keeping resume deterministic
             draw = sample_space(spec.get("space", {}), rnd)
+            if i in done:
+                continue
             trial_dir = os.path.join(args.out_dir, f"trial_{i:03d}")
-            result = run_trial(i, spec, draw, trial_dir)
+            completed_curves = [
+                objective_curve(r["out_dir"], metric) for r in results
+                if r.get("returncode") == 0
+            ]
+            result = run_trial(i, spec, draw, trial_dir,
+                               completed_curves=completed_curves)
             results.append(result)
             with open(results_path, "a") as f:
                 f.write(json.dumps(result) + "\n")
-            log.info(f"trial {i}: objective={result['objective']}")
+            log.info(f"trial {i}: objective={result['objective']}"
+                     + (" (pruned)" if result.get("pruned") else ""))
 
     best = best_of(results, direction)
     if best is None:

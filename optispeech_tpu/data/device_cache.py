@@ -197,38 +197,65 @@ class DeviceFeatureCache:
             f"{t_wav} wav) = {nbytes / 1e9:.2f} GB on device"
         )
 
+    def arenas(self) -> dict:
+        """The device-array pytree for the jitted step. MUST be passed as a
+        jit ARGUMENT (training/step.py make_cached_train_step), never closed
+        over: a traced function that closes over concrete arrays bakes them
+        into the HLO as literal constants, and a 0.4+ GB constant blob
+        overflows the harness's remote-compile transport (HTTP 413) and would
+        bloat any compile cache."""
+        d = dict(x=self.x, mel=self.mel, pitch=self.pitch, energy=self.energy,
+                 wav=self.wav, text_lens=self.d_text_lens, mel_lens=self.d_mel_lens)
+        if self.d_sids is not None:
+            d["sids"] = self.d_sids
+        if self.d_lids is not None:
+            d["lids"] = self.d_lids
+        return d
+
     def gather(self, idx, start_idx, t_text: int, t_mel: int, segment_size: int) -> dict:
-        """Assemble a training batch on device (traced inside jit).
+        """Assemble a training batch on device (traced inside jit; prefer
+        `gather_arenas` with `arenas()` passed as a jit argument)."""
+        return gather_arenas(self.arenas(), idx, start_idx, t_text, t_mel,
+                             segment_size, self.hop_length, self._wav_scale)
 
-        idx: (B,) int item indices; start_idx: (B,) segment starts in mel
-        frames; t_text/t_mel: STATIC bucketed pad lengths for this batch;
-        segment_size: static GAN segment length (mel frames)."""
-        import jax.numpy as jnp
 
-        seg = min(segment_size, t_mel)
-        hop = self.hop_length
-        x = jnp.take(self.x, idx, axis=0)[:, :t_text]
-        mel = jnp.take(self.mel, idx, axis=0)[:, :, :t_mel]
-        pitches = jnp.take(self.pitch, idx, axis=0)[:, :t_mel]
-        energies = jnp.take(self.energy, idx, axis=0)[:, :t_mel]
-        x_lengths = jnp.minimum(jnp.take(self.d_text_lens, idx), t_text)
-        mel_lengths = jnp.minimum(jnp.take(self.d_mel_lens, idx), t_mel)
-        # GT waveform segment: one flat gather, same clipped-index semantics
-        # as ops/segments.host_slice_wav_segments
-        t_wav_full = self.wav.shape[1]
-        pos = start_idx[:, None].astype(jnp.int32) * hop + jnp.arange(seg * hop, dtype=jnp.int32)[None, :]
-        pos = jnp.clip(pos, 0, t_wav_full - 1)
-        flat = idx[:, None].astype(jnp.int32) * t_wav_full + pos
-        wav_seg = jnp.take(self.wav.reshape(-1), flat.reshape(-1)).reshape(pos.shape)
-        if self._wav_scale is not None:
-            wav_seg = wav_seg.astype(jnp.float32) * self._wav_scale
-        return dict(
-            x=x, x_lengths=x_lengths, mel=mel, mel_lengths=mel_lengths,
-            pitches=pitches, energies=energies,
-            sids=jnp.take(self.d_sids, idx) if self.d_sids is not None else None,
-            lids=jnp.take(self.d_lids, idx) if self.d_lids is not None else None,
-            start_idx=start_idx, wav_seg=wav_seg,
-        )
+def gather_arenas(arenas: dict, idx, start_idx, t_text: int, t_mel: int,
+                  segment_size: int, hop_length: int,
+                  wav_scale: Optional[float] = None) -> dict:
+    """Assemble a training batch on device from an arena pytree (traced
+    inside jit; `arenas` comes in as a jit argument so the arrays are
+    program PARAMETERS, not embedded constants).
+
+    idx: (B,) int item indices; start_idx: (B,) segment starts in mel
+    frames; t_text/t_mel: STATIC bucketed pad lengths for this batch;
+    segment_size: static GAN segment length (mel frames)."""
+    import jax.numpy as jnp
+
+    seg = min(segment_size, t_mel)
+    hop = hop_length
+    x = jnp.take(arenas["x"], idx, axis=0)[:, :t_text]
+    mel = jnp.take(arenas["mel"], idx, axis=0)[:, :, :t_mel]
+    pitches = jnp.take(arenas["pitch"], idx, axis=0)[:, :t_mel]
+    energies = jnp.take(arenas["energy"], idx, axis=0)[:, :t_mel]
+    x_lengths = jnp.minimum(jnp.take(arenas["text_lens"], idx), t_text)
+    mel_lengths = jnp.minimum(jnp.take(arenas["mel_lens"], idx), t_mel)
+    # GT waveform segment: one flat gather, same clipped-index semantics
+    # as ops/segments.host_slice_wav_segments
+    wav = arenas["wav"]
+    t_wav_full = wav.shape[1]
+    pos = start_idx[:, None].astype(jnp.int32) * hop + jnp.arange(seg * hop, dtype=jnp.int32)[None, :]
+    pos = jnp.clip(pos, 0, t_wav_full - 1)
+    flat = idx[:, None].astype(jnp.int32) * t_wav_full + pos
+    wav_seg = jnp.take(wav.reshape(-1), flat.reshape(-1)).reshape(pos.shape)
+    if wav_scale is not None:
+        wav_seg = wav_seg.astype(jnp.float32) * wav_scale
+    return dict(
+        x=x, x_lengths=x_lengths, mel=mel, mel_lengths=mel_lengths,
+        pitches=pitches, energies=energies,
+        sids=jnp.take(arenas["sids"], idx) if "sids" in arenas else None,
+        lids=jnp.take(arenas["lids"], idx) if "lids" in arenas else None,
+        start_idx=start_idx, wav_seg=wav_seg,
+    )
 
 
 class _LenTable:

@@ -55,7 +55,9 @@ class OptiSpeech:
 
         self._encode_jit = jax.jit(self._encode_fn)
         self._decode_jit = jax.jit(self._decode_fn, static_argnames=("n_frames",))
-        self._fixed_jit = jax.jit(self._fixed_fn, static_argnames=("n_frames", "pcm16"))
+        self._fixed_jit = jax.jit(
+            self._fixed_fn, static_argnames=("n_frames", "pcm16", "mulaw")
+        )
 
     # ------------------------------------------------------------------
     def init_params(self, rng):
@@ -89,7 +91,7 @@ class OptiSpeech:
         )
 
     def _fixed_fn(self, params, x, x_lengths, sids, lids, d_factor, p_factor,
-                  e_factor, n_frames, pcm16=False):
+                  e_factor, n_frames, pcm16=False, mulaw=False):
         out = self.generator.apply(
             {"params": params}, x, x_lengths, sids, lids,
             d_factor, p_factor, e_factor, n_frames,
@@ -99,15 +101,22 @@ class OptiSpeech:
             # serve 16-bit PCM straight off the chip: halves the device->host
             # bytes (wav is already clipped to [-1, 1] by the vocoder head)
             out["wav_pcm16"] = jnp.round(out["wav"] * 32767.0).astype(jnp.int16)
+        if mulaw:
+            # 8-bit µ-law wire: quarter of the f32 bytes at ~38 dB SNR
+            # (ops/mulaw.py); decode client-side with ops.mulaw.mulaw_decode
+            from ..ops.mulaw import mulaw_encode
+
+            out["wav_mulaw"] = mulaw_encode(out["wav"])
         return out
 
     def synthesise_on_device(self, inputs: InferenceInputs, n_frames: int,
-                             pcm16: bool = False):
+                             pcm16: bool = False, mulaw: bool = False):
         """Single-graph synthesis with a static frame cap; returns DEVICE
         arrays without any host sync (callers fetch/stream as needed). This is
         the serving hot path; `synthesise` wraps the two-stage exact-bucket
         variant with host-side numpy outputs. `pcm16=True` adds a `wav_pcm16`
-        int16 output computed on device — the wire format for serving."""
+        int16 output computed on device; `mulaw=True` adds a `wav_mulaw`
+        uint8 output — the serving wire formats."""
         inputs = inputs.as_numpy()
         b, t_text = inputs.x.shape
         t_bucket = round_up_to_bucket(t_text, self.text_bucket)
@@ -118,7 +127,7 @@ class OptiSpeech:
         return self._fixed_jit(
             self.params, jnp.asarray(x), jnp.asarray(inputs.x_lengths.astype(np.int32)),
             sids, lids, jnp.float32(inputs.d_factor), jnp.float32(inputs.p_factor),
-            jnp.float32(inputs.e_factor), n_frames, pcm16,
+            jnp.float32(inputs.e_factor), n_frames, pcm16, mulaw,
         )
 
     # ------------------------------------------------------------------

@@ -184,18 +184,37 @@ def make_cached_train_step(cfg: ExperimentConfig, generator, discriminator, cach
     The host ships only (idx, start_idx) integer vectors per step; batch
     assembly (row gather + static slice + GT segment crop) runs on device
     inside the same jit as the GAN update. t_text/t_mel are static (one
-    compiled variant per bucket pair, exactly like the host-assembled path)."""
+    compiled variant per bucket pair, exactly like the host-assembled path).
+
+    The arena pytree is a jit ARGUMENT (bound here, constant buffers across
+    calls): closing over 0.4+ GB of concrete device arrays would embed them
+    in the HLO as literal constants, which overflows the remote-compile
+    transport on the tunneled harness (HTTP 413) and bloats compile caches."""
+    from ..data.device_cache import gather_arenas
+
     base = make_train_step(cfg, generator, discriminator, optimizer,
                            donate=False, jit=False)
     segment_size = cfg.generator.segment_size
+    hop_length = cfg.generator.features.hop_length
+    arenas = cache.arenas()
+    wav_scale = cache._wav_scale
 
     @partial(jax.jit, static_argnames=("t_text", "t_mel"),
              donate_argnums=(0,) if donate else ())
-    def cached_step(state: TrainState, idx, start_idx, t_text: int, t_mel: int):
-        batch = cache.gather(idx, start_idx, t_text, t_mel, segment_size)
+    def cached_step(state: TrainState, arenas: dict, idx_start,
+                    t_text: int, t_mel: int):
+        # idx_start: ONE (B, 2) int32 array (item indices; segment starts) —
+        # a single host->device transfer per step, issued inside the dispatch
+        # (each separate transfer through the tunneled harness costs a fixed
+        # ~35 ms round trip). Batch-major so the data axis shards as usual.
+        batch = gather_arenas(arenas, idx_start[:, 0], idx_start[:, 1],
+                              t_text, t_mel, segment_size, hop_length, wav_scale)
         return base(state, batch)
 
-    return cached_step
+    def step(state: TrainState, idx_start, *, t_text: int, t_mel: int):
+        return cached_step(state, arenas, idx_start, t_text=t_text, t_mel=t_mel)
+
+    return step
 
 
 def make_val_step(cfg: ExperimentConfig, generator, discriminator):

@@ -566,7 +566,8 @@ class Trainer:
     def _cached_train_step(self, state, light: dict, step: int):
         """One step over a DeviceCacheLoader light batch: sample segment
         starts on host (same rng stream as _segment_batch — deterministic
-        under resume), ship only (idx, start_idx), assemble on device."""
+        under resume), ship only one packed (2, B) int32 (idx; start_idx),
+        assemble on device."""
         from ..ops.segments import host_sample_segment_starts
 
         seg = min(self.cfg.generator.segment_size, light["t_mel"])
@@ -574,12 +575,13 @@ class Trainer:
             (self.cfg.seed * 1_000_003 + jax.process_index() * 7919 + step) & 0x7FFFFFFF
         )
         start = host_sample_segment_starts(rng, light["mel_lengths"], seg)
-        sharded = shard_batch(
-            {"idx": light["idx"], "start_idx": start.astype(np.int32)}, self.mesh
-        )
+        idx_start = np.stack([light["idx"], start.astype(np.int32)], axis=1)
+        if self.mesh.devices.size > 1:
+            idx_start = shard_batch({"b": idx_start}, self.mesh)["b"]
+        # single-device: hand the numpy array straight to the jit — the
+        # transfer rides the dispatch instead of a separate device_put RPC
         return self._cached_step(
-            state, sharded["idx"], sharded["start_idx"],
-            t_text=light["t_text"], t_mel=light["t_mel"],
+            state, idx_start, t_text=light["t_text"], t_mel=light["t_mel"],
         )
 
     def _segment_batch(self, batch: dict, step: int) -> dict:

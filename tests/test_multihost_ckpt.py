@@ -1,0 +1,82 @@
+"""Multi-host checkpoint save/restore integration test (VERDICT r3 item 5).
+
+Two real OS processes (gloo CPU collectives, 4 global devices) run the
+Trainer with its production checkpoint machinery: train 2 steps, exit (the
+finally-block checkpoints from process 0), relaunch BOTH processes, restore,
+train 2 more — the final params must equal an uninterrupted 2-process run.
+Proves: process-0-only orbax writes + all-process restore + loader-state
+resume compose correctly under jax.process_count() > 1.
+
+Collective preemption note (docs/serving.md): multi-host preemption relies on
+SIGTERM reaching every process (the RSS guard is disabled multi-host,
+trainer.py); this test exercises the restore half of that story.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+WORKER = os.path.join(HERE, "_multihost_ckpt_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _clean_env():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    return env
+
+
+def _run(nproc: int, tmpdir, work_dir: str, max_steps: int, tag: str) -> list[dict]:
+    port = _free_port()
+    procs, outs = [], []
+    for i in range(nproc):
+        out = os.path.join(tmpdir, f"ckpt_{tag}_{i}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, str(i), str(nproc), str(port), out,
+             work_dir, str(max_steps)],
+            env=_clean_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    results = []
+    for p, out in zip(procs, outs):
+        stdout, _ = p.communicate(timeout=1200)
+        assert p.returncode == 0, stdout.decode()[-3000:]
+        with open(out) as f:
+            results.append(json.load(f))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume_matches_uninterrupted(tmp_path):
+    work_a = str(tmp_path / "interrupted")
+    # phase 1: 2 steps, both processes exit; proc 0 wrote the checkpoint
+    first = _run(2, str(tmp_path), work_a, max_steps=2, tag="first")
+    assert all(r["step"] == 2 for r in first)
+    ckpt_dir = os.path.join(work_a, "checkpoints")
+    assert os.path.isdir(ckpt_dir) and any(
+        d.isdigit() for d in os.listdir(ckpt_dir)
+    ), "process 0 must have written an orbax checkpoint"
+
+    # phase 2: fresh processes over the same work dir restore step 2 and run
+    # to step 4 (loader position replays the exact remaining batches)
+    second = _run(2, str(tmp_path), work_a, max_steps=4, tag="second")
+    assert all(r["step"] == 4 for r in second)
+    # both processes hold the identical replicated params
+    np.testing.assert_allclose(second[0]["digest"], second[1]["digest"], rtol=1e-7)
+
+    # oracle: uninterrupted 2-process run to step 4 in a clean work dir
+    oracle = _run(2, str(tmp_path), str(tmp_path / "oracle"), max_steps=4, tag="oracle")
+    np.testing.assert_allclose(second[0]["digest"], oracle[0]["digest"],
+                               rtol=2e-4, atol=1e-6)

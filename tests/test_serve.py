@@ -48,6 +48,23 @@ def _post(base, payload, path="/synthesise"):
         return e.code, dict(e.headers), e.read()
 
 
+def test_prewarm_live_model(server):
+    """prewarm compiles the pow2 batch ladder in both wire formats before the
+    port binds (VERDICT r3 item 8); repeat calls hit the jit cache and are
+    near-instant."""
+    import time
+
+    from optispeech_tpu.cli.serve import prewarm
+
+    _, httpd = server
+    model = httpd.batcher.model
+    timings = prewarm(model, max_batch=2)
+    assert set(timings) == {"b1_pcm16", "b1_mulaw", "b2_pcm16", "b2_mulaw"}
+    t0 = time.time()
+    prewarm(model, max_batch=2)  # all cached now
+    assert time.time() - t0 < 5.0
+
+
 def test_health_and_info(server):
     base, _ = server
     with urllib.request.urlopen(base + "/health", timeout=30) as r:
@@ -77,6 +94,28 @@ def test_synthesise_json_and_wav_and_pcm(server):
     assert int(headers["X-Sample-Rate"]) == obj["sample_rate"]
     # same text, same deterministic model -> identical PCM as the json route
     np.testing.assert_array_equal(np.frombuffer(body, "<i2"), pcm)
+
+
+def test_synthesise_mulaw_wire(server):
+    """format=mulaw returns device-encoded 8-bit codes whose decode matches
+    the pcm16 route within µ-law quantization error (VERDICT r3 item 3)."""
+    from optispeech_tpu.ops.mulaw import mulaw_decode
+
+    base, httpd = server
+    code, _, body16 = _post(base, {"text": "hello mu law", "format": "pcm16"})
+    assert code == 200
+    ref = np.frombuffer(body16, "<i2").astype(np.float32) / 32767.0
+
+    code, headers, body8 = _post(base, {"text": "hello mu law", "format": "mulaw"})
+    assert code == 200
+    assert headers["X-Encoding"] == "mulaw"
+    codes = np.frombuffer(body8, np.uint8)
+    assert len(codes) == len(ref)  # quarter of the f32 bytes, same samples
+    dec = mulaw_decode(codes)
+    err = dec - ref
+    sig = float((ref ** 2).mean())
+    snr = 10 * np.log10(sig / max(float((err ** 2).mean()), 1e-12))
+    assert snr > 25.0, f"served µ-law SNR {snr:.1f} dB"
 
 
 def test_merge_pads_batch_up_the_ladder(server):

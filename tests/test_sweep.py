@@ -59,6 +59,62 @@ def test_read_objective_and_best(tmp_path):
     assert best_of(results, "max")["trial"] == 0
 
 
+def test_should_prune_median_stopping():
+    from optispeech_tpu.cli.sweep import should_prune
+
+    done = [[10.0, 8.0, 6.0], [9.0, 7.0, 5.0], [12.0, 9.0, 8.0]]
+    # a trial tracking the pack is kept (best-so-far 7.5 < median 8.0 at k=2)
+    assert not should_prune([9.5, 7.5], done, "min")
+    # a clearly-worse trial is pruned (best-so-far 14 > median 8 at k=2)
+    assert should_prune([15.0, 14.0], done, "min")
+    # gates: too few evals / too few completed peers -> never prune
+    assert not should_prune([15.0], done, "min", min_evals=2)
+    assert not should_prune([15.0, 14.0], done[:1], "min", min_completed=2)
+    # direction=max flips the comparison
+    assert should_prune([0.1, 0.2], [[0.5, 0.6], [0.4, 0.7], [0.3, 0.8]], "max")
+    assert not should_prune([0.6, 0.9], [[0.5, 0.6], [0.4, 0.7], [0.3, 0.8]], "max")
+
+
+def test_objective_curve_tolerates_partial_line(tmp_path):
+    from optispeech_tpu.cli.sweep import objective_curve
+
+    d = tmp_path / "t"
+    d.mkdir()
+    with open(d / "metrics.jsonl", "w") as f:
+        f.write(json.dumps({"step": 1, "m": 5.0}) + "\n")
+        f.write(json.dumps({"step": 2, "m": 4.0}) + "\n")
+        f.write('{"step": 3, "m": 3.')  # mid-write tail while the trial runs
+    assert objective_curve(str(d), "m") == [5.0, 4.0]
+
+
+def test_resume_skips_completed_trials(tmp_path, capsys):
+    """--resume loads recorded trials and runs only the remainder (none here:
+    all trials recorded -> no subprocess is launched)."""
+    spec = {
+        "base_config": "default", "trials": 2, "seed": 0,
+        "objective": "total_loss/val_total", "direction": "min",
+        "space": {"optimizer.lr": {"log_uniform": [1e-5, 1e-3]}},
+    }
+    spec_path = tmp_path / "spec.yaml"
+    yaml.safe_dump(spec, open(spec_path, "w"))
+    out = tmp_path / "sweep"
+    out.mkdir()
+    rows = [
+        {"trial": 0, "params": {"optimizer.lr": 1e-4}, "objective": 3.0,
+         "returncode": 0, "out_dir": str(out / "trial_000")},
+        {"trial": 1, "params": {"optimizer.lr": 2e-4}, "objective": 2.0,
+         "returncode": 0, "out_dir": str(out / "trial_001")},
+    ]
+    with open(out / "sweep_results.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    best = main([str(spec_path), "--out-dir", str(out), "--resume"])
+    assert best["trial"] == 1 and best["objective"] == 2.0
+    # no new rows were appended (both trials were already complete)
+    assert len(open(out / "sweep_results.jsonl").readlines()) == 2
+
+
 @pytest.mark.slow
 def test_two_trial_sweep_end_to_end(tmp_path, capsys):
     base = to_dict(tiny_experiment(pretraining_steps=0))
