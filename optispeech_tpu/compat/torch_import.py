@@ -198,6 +198,45 @@ def _conformer_backbone(prefix, get, n_blocks):
     return out
 
 
+def _lstm_cell(prefix, get):
+    """torch nn.LSTM (1 layer, batch_first) -> flax OptimizedLSTMCell params.
+
+    torch packs the four gates row-wise in (4H, H) weight matrices, order
+    (i, f, g, o); flax keeps one (H, H) Dense per gate — input-side kernels
+    without bias (ii/if/ig/io), recurrent-side with bias (hi/hf/hg/ho), so
+    the single flax bias is torch's bias_ih + bias_hh. Gate semantics match
+    (i/f/o sigmoid, g tanh)."""
+    w_ih = np.asarray(get(f"{prefix}.weight_ih_l0"))  # (4H, H)
+    w_hh = np.asarray(get(f"{prefix}.weight_hh_l0"))
+    b = np.asarray(get(f"{prefix}.bias_ih_l0")) + np.asarray(get(f"{prefix}.bias_hh_l0"))
+    h = w_ih.shape[1]
+    gates = ("i", "f", "g", "o")
+    out = {}
+    for k, gate in enumerate(gates):
+        out[f"i{gate}"] = {"kernel": w_ih[k * h:(k + 1) * h].T}
+        out[f"h{gate}"] = {"kernel": w_hh[k * h:(k + 1) * h].T,
+                           "bias": b[k * h:(k + 1) * h]}
+    return out
+
+
+def _leanspeech_layers(prefix, get, n_layers):
+    """LeanSpeechBackbone (reference modules/leanspeech.py:13-96): per block a
+    1-layer LSTM (tanh-ed), a ConvGLU (ConvSeparable -> LayerNorm -> GLU with
+    an inner residual), and a final LayerNorm."""
+    out = {}
+    for i in range(n_layers):
+        p = f"{prefix}.layers.{i}"
+        out[f"layer_{i}"] = {
+            "OptimizedLSTMCell_0": _lstm_cell(f"{p}.lstm", get),
+            "conv": {
+                "conv": _conv_separable(f"{p}.conv.conv.0", get),
+                "ln": _ln(f"{p}.conv.conv.1", get),
+            },
+            "final_layer_norm": _ln(f"{p}.final_layer_norm", get),
+        }
+    return out
+
+
 def _backbone(prefix, get, bb_cfg, is_decoder=False):
     if bb_cfg.kind == "convnext":
         return _convnext_backbone(prefix, get, bb_cfg.num_layers)
@@ -206,6 +245,8 @@ def _backbone(prefix, get, bb_cfg, is_decoder=False):
         if is_decoder:
             out["pos_emb"] = {"scale": np.asarray(get(f"{prefix}.pos_emb.scale"))}
         return out
+    if bb_cfg.kind == "leanspeech":
+        return _leanspeech_layers(prefix, get, bb_cfg.num_layers)
     if bb_cfg.kind == "transformer":
         return _transformer_backbone(prefix, get, bb_cfg.num_blocks)
     if bb_cfg.kind == "conformer":

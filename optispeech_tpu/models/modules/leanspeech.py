@@ -2,7 +2,10 @@
 
 Capability parity with
 /root/reference/optispeech/model/generator/modules/leanspeech.py. The LSTM is
-a flax `nn.RNN(nn.OptimizedLSTMCell)` — a `lax.scan` under jit.
+a flax `nn.RNN(nn.OptimizedLSTMCell)` — a `lax.scan` under jit. Reference
+checkpoints import via compat/torch_import.py (_lstm_cell maps the packed
+torch gate matrices onto the per-gate flax Denses) and are parity-tested
+end-to-end (tests/test_reference_parity.py).
 """
 
 import flax.linen as nn

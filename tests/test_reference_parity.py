@@ -7,7 +7,8 @@ agreement: identical integer durations, waveform allclose, and the BASELINE
 mel-L1 <= 1e-2 gate (reference generator/__init__.py:194-296).
 
 Covered: ConvNeXt (flagship), LightSpeech with separable "lite" predictors
-(configs/model/light.yaml), ESPnet Transformer, multi-speaker/multi-language.
+(configs/model/light.yaml), ESPnet Transformer, Conformer, LeanSpeech,
+multi-speaker/multi-language — every backbone has a torch-parity path.
 """
 
 from functools import partial
@@ -60,6 +61,12 @@ def _backbones(kind, M):
         c = BackboneConfig(kind="transformer", attention_heads=2, linear_units=64,
                            num_blocks=2, dropout=0.2, positional_dropout_rate=0.2,
                            attention_dropout_rate=0.2)
+        return t, t, c, c
+    if kind == "leanspeech":
+        import optispeech.model.generator.modules.leanspeech as ls
+
+        t = partial(ls.LeanSpeechBackbone, kernel_size=5, num_layers=2, drop_path=0.2)
+        c = BackboneConfig(kind="leanspeech", kernel_size=5, num_layers=2, drop_path=0.2)
         return t, t, c, c
     if kind == "conformer":
         t = partial(
@@ -194,7 +201,9 @@ def assert_synthesise_parity(tgen, gen_cfg, params, sids=None, lids=None,
         assert mel_l1 <= 1e-2, f"mel-L1 {mel_l1} exceeds the parity gate"
 
 
-@pytest.mark.parametrize("kind", ["convnext", "lightspeech", "transformer", "conformer"])
+@pytest.mark.parametrize(
+    "kind", ["convnext", "lightspeech", "transformer", "conformer", "leanspeech"]
+)
 def test_reference_synthesise_parity(kind):
     tgen, gen_cfg, params = build_pair(kind, separable=(kind == "lightspeech"))
     assert_synthesise_parity(tgen, gen_cfg, params)
