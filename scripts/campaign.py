@@ -103,22 +103,55 @@ def stage_pack(work: Path, pre: Path, log):
     return train_pak, val_pak
 
 
+def _latest_ckpt_step(out_dir: Path) -> int:
+    d = out_dir / "checkpoints"
+    if not d.is_dir():
+        return 0
+    steps = [int(n) for n in os.listdir(d) if n.isdigit()]
+    return max(steps, default=0)
+
+
 def stage_train(work: Path, pre: Path, train_pak, val_pak, stats, max_steps, log,
                 overrides=()):
+    """Train to `max_steps`, RESUMING through preemptions: "done" is gated on
+    the latest orbax checkpoint step, NOT on inference_ckpt existing — a
+    SIGTERM preemption checkpoints, exports an inference artifact, and exits
+    0 mid-run, so artifact existence is not completion evidence."""
     out_dir = work / "run"
-    ckpt = out_dir / "inference_ckpt"
-    if (ckpt / "config.json").exists():
-        return out_dir
-    run([sys.executable, "-m", "optispeech_tpu.cli.train",
-         "--config", "campaign-ms",
-         "--packed-train", train_pak, "--packed-val", val_pak,
-         "--device-cache",
-         "--out-dir", out_dir, "--max-steps", max_steps,
-         "--no-print-config",
-         f"data.train_filelist_path={pre / 'train.txt'}",
-         f"data.valid_filelist_path={pre / 'val.txt'}",
-         *stats_overrides(stats), *overrides],
-        cpu=False, log_path=log)
+    while True:
+        before = _latest_ckpt_step(out_dir)
+        if before >= int(max_steps):
+            break
+        run([sys.executable, "-m", "optispeech_tpu.cli.train",
+             "--config", "campaign-ms",
+             "--packed-train", train_pak, "--packed-val", val_pak,
+             "--device-cache",
+             "--out-dir", out_dir, "--max-steps", max_steps,
+             "--no-print-config",
+             f"data.train_filelist_path={pre / 'train.txt'}",
+             f"data.valid_filelist_path={pre / 'val.txt'}",
+             *stats_overrides(stats), *overrides],
+            cpu=False, log_path=log)
+        after = _latest_ckpt_step(out_dir)
+        if after <= before:
+            raise SystemExit(
+                f"train stage made no progress (checkpoint step {before} -> "
+                f"{after}); see {log}"
+            )
+    if not (out_dir / "inference_ckpt" / "config.json").exists():
+        # training is at target but the inference export is missing (e.g. the
+        # artifact of a preempted run was cleaned): one more CLI invocation
+        # restores the final state, immediately exits the fit loop, and exports
+        run([sys.executable, "-m", "optispeech_tpu.cli.train",
+             "--config", "campaign-ms",
+             "--packed-train", train_pak, "--packed-val", val_pak,
+             "--device-cache",
+             "--out-dir", out_dir, "--max-steps", max_steps,
+             "--no-print-config",
+             f"data.train_filelist_path={pre / 'train.txt'}",
+             f"data.valid_filelist_path={pre / 'val.txt'}",
+             *stats_overrides(stats), *overrides],
+            cpu=False, log_path=log)
     return out_dir
 
 
