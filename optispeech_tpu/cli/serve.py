@@ -428,7 +428,7 @@ def _make_handler_cls(model, batcher, timeout_s, get_streamer):
                 return
 
             if self.path == "/stream":
-                self._stream(inputs.as_numpy())
+                self._stream(inputs.as_numpy(), fmt=req.get("format", "pcm16"))
                 return
 
             fmt_early = req.get("format", "wav")
@@ -452,16 +452,26 @@ def _make_handler_cls(model, batcher, timeout_s, get_streamer):
             fmt = req.get("format", "wav")
             self._respond_audio(fmt, pending)
 
-        def _stream(self, inputs):
-            """Chunked-transfer raw PCM16: one HTTP chunk per decoded window.
+        def _stream(self, inputs, fmt: str = "pcm16"):
+            """Chunked-transfer raw audio: one HTTP chunk per decoded window.
+            `fmt` "pcm16" (default) or "mulaw" (8-bit; live models encode the
+            chunk ON DEVICE so the wire is quarter of the f32 bytes — see
+            models/streaming.py `wire`; exported artifacts transcode on host).
             Each sentence row streams in sequence (jax dispatch is
             thread-safe, so this interleaves with batcher traffic)."""
+            import inspect
+
             from ..values import InferenceInputs
 
             streamer = get_streamer()
+            mulaw = fmt == "mulaw"
+            device_wire = mulaw and "wire" in inspect.signature(
+                streamer.stream).parameters
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("X-Sample-Rate", str(model.sample_rate))
+            if mulaw:
+                self.send_header("X-Encoding", "mulaw")
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
 
@@ -478,10 +488,20 @@ def _make_handler_cls(model, batcher, timeout_s, get_streamer):
                         d_factor=inputs.d_factor, p_factor=inputs.p_factor,
                         e_factor=inputs.e_factor, clean_text=inputs.clean_text,
                     )
-                    for chunk in streamer.stream(row):
-                        pcm = (np.clip(chunk, -1, 1) * 32767.0).astype("<i2")
-                        if len(pcm):
-                            emit(pcm.tobytes())
+                    kw = {"wire": "mulaw"} if device_wire else {}
+                    for chunk in streamer.stream(row, **kw):
+                        if not len(chunk):
+                            continue
+                        if mulaw:
+                            if chunk.dtype == np.uint8:  # device-encoded
+                                emit(chunk.tobytes())
+                            else:
+                                from ..ops.mulaw import mulaw_encode_np
+
+                                emit(mulaw_encode_np(chunk).tobytes())
+                        else:
+                            emit((np.clip(chunk, -1, 1) * 32767.0)
+                                 .astype("<i2").tobytes())
                 self.wfile.write(b"0\r\n\r\n")
             except Exception:
                 log.exception("stream failed")

@@ -66,9 +66,21 @@ class StreamingSynthesiser:
 
         self._upsample_jit = jax.jit(upsample_fn, static_argnames=("n_frames",))
         self._chunk_jit = jax.jit(chunk_fn)
+        from ..ops.mulaw import mulaw_encode
 
-    def stream(self, inputs, max_frames: int = 4096) -> Iterator[np.ndarray]:
-        """Yield waveform chunks (numpy) for the first batch item."""
+        self._wire_enc = {
+            "mulaw": jax.jit(mulaw_encode),
+            "pcm16": jax.jit(lambda w: jnp.round(jnp.clip(w, -1, 1) * 32767.0)
+                             .astype(jnp.int16)),
+        }
+
+    def stream(self, inputs, max_frames: int = 4096,
+               wire: str | None = None) -> Iterator[np.ndarray]:
+        """Yield waveform chunks (numpy) for the first batch item.
+
+        `wire` compresses each chunk ON DEVICE before the fetch — "pcm16"
+        (int16, half the f32 device->host bytes) or "mulaw" (uint8, quarter;
+        decode with ops.mulaw.mulaw_decode). None yields f32."""
         inputs = inputs.as_numpy()
         b, t_text = inputs.x.shape
         t_bucket = round_up_to_bucket(t_text, self.api.text_bucket)
@@ -102,6 +114,8 @@ class StreamingSynthesiser:
             pos = pos0 + (start - self.overlap)
             pad_mask = jnp.broadcast_to((pos < 0) | (pos >= total), (b, self.window))
             wav = self._chunk_jit(self.api.params, window, pad_mask)
+            if wire is not None:
+                wav = self._wire_enc[wire](wav)
             pending.append((wav, self.overlap * self.hop, emit * self.hop))
             start += emit
             if len(pending) > 1:

@@ -204,6 +204,27 @@ def test_stream_endpoint_matches_batch_output(server):
         assert n > 0.9 * max(len(streamed), len(batch))
         # matches away from f32 path noise (same 2e-3 atol as export parity)
         assert np.abs(streamed[:n].astype(int) - batch[:n].astype(int)).max() <= 64
+
+        # µ-law stream: device-encoded 8-bit chunks decode to the same audio
+        # within companding error (VERDICT r3 item 10)
+        from optispeech_tpu.ops.mulaw import mulaw_decode
+
+        conn = http.client.HTTPConnection("127.0.0.1", httpd2.server_address[1],
+                                          timeout=600)
+        conn.request("POST", "/stream",
+                     json.dumps({**payload, "format": "mulaw"}).encode(),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200 and resp.headers["X-Encoding"] == "mulaw"
+        codes = np.frombuffer(resp.read(), np.uint8)
+        conn.close()
+        assert len(codes) == len(streamed)  # same samples at 1/2 the pcm16 bytes
+        dec = mulaw_decode(codes)
+        ref = streamed.astype(np.float32) / 32767.0
+        err = dec - ref
+        snr = 10 * np.log10(max((ref ** 2).mean(), 1e-12)
+                            / max((err ** 2).mean(), 1e-12))
+        assert snr > 25.0, f"streamed µ-law SNR {snr:.1f} dB"
     finally:
         httpd2.shutdown()
 
