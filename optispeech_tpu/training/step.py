@@ -217,6 +217,45 @@ def make_cached_train_step(cfg: ExperimentConfig, generator, discriminator, cach
     return step
 
 
+def make_cached_scan_step(cfg: ExperimentConfig, generator, discriminator, cache,
+                          optimizer=None, donate: bool = False):
+    """K GAN train steps in ONE dispatch: `lax.scan` over a (K, B, 2) index
+    array against the device-resident feature cache.
+
+    Rationale: through the tunneled harness each dispatch costs ~130 ms of
+    fixed overhead on top of the ~185 ms compiled step at batch 128 (the RPC
+    serializes the ~10^3-leaf state handle tree); scanning K steps amortizes
+    that to 1/K. The trade is static shapes: every step in the chunk shares
+    (t_text, t_mel), so chunks pad to the widest batch in the chunk (the A/B
+    in scripts/train_dispatch_ab.py quantifies overhead-saved vs pad-waste).
+    Logs come back stacked (K,) per metric."""
+    from ..data.device_cache import gather_arenas
+
+    base = make_train_step(cfg, generator, discriminator, optimizer,
+                           donate=False, jit=False)
+    segment_size = cfg.generator.segment_size
+    hop_length = cfg.generator.features.hop_length
+    arenas = cache.arenas()
+    wav_scale = cache._wav_scale
+
+    @partial(jax.jit, static_argnames=("t_text", "t_mel"),
+             donate_argnums=(0,) if donate else ())
+    def scan_steps(state: TrainState, arenas: dict, idx_start_k,
+                   t_text: int, t_mel: int):
+        def body(state, idx_start):
+            batch = gather_arenas(arenas, idx_start[:, 0], idx_start[:, 1],
+                                  t_text, t_mel, segment_size, hop_length,
+                                  wav_scale)
+            return base(state, batch)
+
+        return jax.lax.scan(body, state, idx_start_k)
+
+    def steps(state: TrainState, idx_start_k, *, t_text: int, t_mel: int):
+        return scan_steps(state, arenas, idx_start_k, t_text=t_text, t_mel=t_mel)
+
+    return steps
+
+
 def make_val_step(cfg: ExperimentConfig, generator, discriminator):
     """Validation forward (reference base_lightning_module.py:195-254, minus
     host-side perceptual metrics which live in training/metrics.py)."""

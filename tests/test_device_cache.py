@@ -169,6 +169,51 @@ def test_trainer_cached_path_matches_host_path(pak, tmp_path):
 
 
 @needs_native
+def test_scan_step_matches_sequential_steps(pak):
+    """make_cached_scan_step over K=2 light batches == two sequential
+    make_cached_train_step calls (same rng-free path: segment starts are
+    inputs), so the multi-step dispatch is pure amortization."""
+    import jax
+
+    from optispeech_tpu.models.discriminator.vocos import VocosDiscriminator
+    from optispeech_tpu.models.generator import OptiSpeechGenerator
+    from optispeech_tpu.training.state import init_train_state
+    from optispeech_tpu.training.step import make_cached_scan_step, make_cached_train_step
+
+    from test_train_step import tiny_experiment
+
+    cfg = tiny_experiment(pretraining_steps=0)
+    cache = DeviceFeatureCache(pak, _stats(), text_bucket=16, mel_bucket=64)
+    gen = OptiSpeechGenerator(cfg.generator)
+    disc = VocosDiscriminator(cfg.discriminator, cfg.generator.features)
+    state0 = init_train_state(cfg, gen, disc, jax.random.PRNGKey(0))
+
+    t_text, t_mel = cache.t_text_max, cache.t_mel_max
+    rng = np.random.default_rng(3)
+    ks = np.stack([
+        np.stack([rng.permutation(12)[:4].astype(np.int32),
+                  rng.integers(0, 8, 4).astype(np.int32)], axis=1)
+        for _ in range(2)
+    ])  # (K=2, B=4, 2)
+
+    seq = make_cached_train_step(cfg, gen, disc)
+    s = state0
+    for k in range(2):
+        s, logs_last = seq(s, ks[k], t_text=t_text, t_mel=t_mel)
+
+    scan = make_cached_scan_step(cfg, gen, disc, cache)
+    s2, logs_k = scan(state0, ks, t_text=t_text, t_mel=t_mel)
+
+    assert int(np.asarray(s2.step)) == int(np.asarray(s.step)) == 2
+    np.testing.assert_allclose(
+        np.asarray(logs_k["total_loss/generator"])[-1],
+        np.asarray(logs_last["total_loss/generator"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s.g_params)),
+                    jax.tree_util.tree_leaves(jax.device_get(s2.g_params))):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+@needs_native
 def test_cache_truncates_long_items(tmp_path, rng):
     """max_mel_len clamps arena width, lengths, and gathered features, matching
     PackedDataset.assemble's truncation."""
