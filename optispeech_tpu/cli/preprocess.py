@@ -3,7 +3,7 @@
 
 Usage:
     python -m optispeech_tpu.cli.preprocess --config default DATASET_DIR OUTPUT_DIR \
-        [--tokenizer char|ipa|raw-ipa] [--workers N]
+        [--tokenizer en-g2p|char|ipa|raw-ipa] [--workers N]
 """
 
 import argparse
@@ -14,7 +14,7 @@ def main(argv=None):
     p.add_argument("dataset_dir", help="directory with metadata.csv and wavs/")
     p.add_argument("output_dir")
     p.add_argument("--config", default="default")
-    p.add_argument("--tokenizer", default=None, help="override tokenizer (char for espeak-free)")
+    p.add_argument("--tokenizer", default=None, help="override tokenizer (en-g2p = self-contained English G2P; char for espeak-free graphemes)")
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--val-fraction", type=float, default=0.02)
     p.add_argument("overrides", nargs="*")
