@@ -39,6 +39,30 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(out.wav[0, :n], np.asarray(live.wav)[0, :n], atol=2e-3)
 
 
+def test_artifact_prewarm_touches_every_rung(tmp_path):
+    """cli/serve.prewarm on an exported artifact replays every
+    (text bucket x batch rung) graph before the server binds (VERDICT r3
+    item 8)."""
+    from optispeech_tpu.cli.serve import prewarm
+
+    cfg = ExperimentConfig(
+        generator=tiny_cfg(),
+        data=DataConfig(
+            text_bucket_size=16, mel_bucket_size=32,
+            text_processor=TextProcessorConfig(tokenizer="char"),
+        ),
+    )
+    api = OptiSpeech(cfg, seed=0)
+    out_dir = str(tmp_path / "exported_pw")
+    export_model(api, out_dir, text_buckets=(16, 32), frames_per_token=8,
+                 batch_sizes=(1, 2), stream_chunk_frames=None)
+    runtime = ExportedOptiSpeech(out_dir)
+    timings = prewarm(runtime)
+    assert set(timings) == {"encode_16_b1", "encode_16_b2",
+                            "encode_32_b1", "encode_32_b2"}
+    assert all(t >= 0 for t in timings.values())
+
+
 def test_export_roundtrip_multispeaker_multilang(tmp_path):
     """sids/lids as exported-graph inputs (reference onnx/export.py:56-66,
     onnx/infer.py:57-107): outputs must match the live model per speaker and
