@@ -173,6 +173,9 @@ LEXICON = {
     "bouquet": "B UW0 K EY1", "debris": "D AH0 B R IY1",
     "corps": "K AO1 R", "chef": "SH EH1 F", "chic": "SH IY1 K",
     "niche": "N IH1 CH", "cache": "K AE1 SH", "epoch": "EH1 P AH0 K",
+    "children": "CH IH1 L D R AH0 N", "river": "R IH1 V ER0",
+    "given": "G IH1 V AH0 N", "liver": "L IH1 V ER0",
+    "limit": "L IH1 M AH0 T", "between": "B IH0 T W IY1 N",
     "zero": "Z IY1 R OW0", "hundred": "HH AH1 N D R AH0 D",
     "thousand": "TH AW1 Z AH0 N D", "million": "M IH1 L Y AH0 N",
     "billion": "B IH1 L Y AH0 N", "trillion": "T R IH1 L Y AH0 N",
@@ -492,6 +495,7 @@ RULES = {
         ("^", "sion", "", "SH AX N"),
         ("", "s", "s", ""),
         (".", "s", " ", "Z"),
+        ("#e", "s", " ", "Z"),
         ("#:.e", "s", " ", "Z"),
         ("#:^##", "s", " ", "Z"),
         ("#:^#", "s", " ", "S"),

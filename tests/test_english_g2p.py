@@ -106,6 +106,7 @@ RULE_FIXTURE = {
     "special": "spɛʃəl", "social": "soʊʃəl", "could": "kʊd",
     "group": "ɡɹuːp", "soup": "suːp", "about": "əbaʊt",
     "around": "əɹaʊnd", "away": "əweɪ", "alone": "əloʊn",
+    "stories": "stɔːɹiːz", "goes": "ɡoʊz", "babies": "beɪbiːz",
     "morning": "mɔːɹnɪŋ", "jump": "dʒʌmp", "fox": "fɑːks",
     "box": "bɑːks", "zoo": "zuː", "voice": "vɔɪs", "join": "dʒɔɪn",
 }
