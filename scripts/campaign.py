@@ -131,7 +131,7 @@ def stage_train(work: Path, pre: Path, train_pak, val_pak, stats, max_steps, log
              f"data.train_filelist_path={pre / 'train.txt'}",
              f"data.valid_filelist_path={pre / 'val.txt'}",
              *stats_overrides(stats), *overrides],
-            cpu=False, log_path=log)
+            cpu=False, log_path=log, check=False)
         after = _latest_ckpt_step(out_dir)
         if after <= before:
             raise SystemExit(
