@@ -61,12 +61,13 @@ def stats_overrides(stats_path: Path) -> list[str]:
     return [f"data.statistics.{k}={v}" for k, v in stats.items()]
 
 
-def stage_corpus(work: Path, n_utt: int, log):
+def stage_corpus(work: Path, n_utt: int, log, f0_jitter: float = 0.08):
     corpus = work / "corpus"
     if (corpus / "metadata.csv").exists():
         return corpus
     run([sys.executable, "-m", "optispeech_tpu.data.synthcorpus", corpus,
-         "--n-utterances", n_utt, "--frontend", "en-g2p"], cpu=True, log_path=log)
+         "--n-utterances", n_utt, "--frontend", "en-g2p",
+         "--f0-jitter", f0_jitter], cpu=True, log_path=log)
     return corpus
 
 
@@ -328,7 +329,7 @@ for sid, name in enumerate(manifest["speakers"]):
 # the decoder could learn pitch from the sid embedding alone.
 for sid, name in [(0, "spk_low"), (len(manifest["speakers"]) - 1, list(manifest["speakers"])[-1])]:
     sweep = {{}}
-    for pf in (0.7, 1.0, 1.3):
+    for pf in (0.5, 0.7, 1.0, 1.3, 2.0):
         res = api.synthesise(api.prepare_input(
             text, speaker=sid, split_sentences=False,
             d_factor=1.0, p_factor=pf, e_factor=1.0))
@@ -433,6 +434,10 @@ def main(argv=None):
     p.add_argument("--n-utterances", type=int, default=600)
     p.add_argument("--max-steps", type=int, default=3000)
     p.add_argument("--evidence-dir", default=str(REPO / "docs/evidence/campaign_r4"))
+    p.add_argument("--f0-jitter", type=float, default=0.08,
+                   help="sigma of the corpus's lognormal per-utterance F0 "
+                        "scale (0.2 makes within-speaker F0 spread overlap "
+                        "speaker ranges, so sid alone cannot predict F0)")
     p.add_argument("--disc-on-step", type=int, default=500,
                    help="optimizer step where the discriminator turns on "
                         "(train_args.pretraining_steps) — anchors the "
@@ -445,7 +450,7 @@ def main(argv=None):
     work.mkdir(parents=True, exist_ok=True)
     log = work / "campaign.log"
 
-    corpus = stage_corpus(work, args.n_utterances, log)
+    corpus = stage_corpus(work, args.n_utterances, log, f0_jitter=args.f0_jitter)
     pre = stage_preprocess(work, corpus, log)
     stats = stage_stats(work, pre, log)
     train_pak, val_pak = stage_pack(work, pre, log)
