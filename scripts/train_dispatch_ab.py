@@ -94,7 +94,7 @@ def main(argv=None):
               "arena_shape": [cache.t_text_max, cache.t_mel_max]}
 
     # --- A: per-step dispatch, per-batch bucket shapes -------------------
-    step_fn = make_cached_train_step(cfg, gen, disc, donate=False)
+    step_fn = make_cached_train_step(cfg, gen, disc, cache, donate=False)
     # warm every distinct shape
     shapes = {(t, m) for _, t, m in batches}
     for t, m in shapes:
