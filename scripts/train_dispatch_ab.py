@@ -71,9 +71,16 @@ def main(argv=None):
         shuffle=True, seed=0, max_text_len=cfg.data.max_text_len,
         max_mel_len=cfg.data.max_mel_len,
     )
+    import jax.numpy as jnp
+
     gen = OptiSpeechGenerator(cfg.generator)
     disc = VocosDiscriminator(cfg.discriminator, cfg.generator.features)
     state = init_train_state(cfg, gen, disc, jax.random.PRNGKey(0))
+    # measure the FULL GAN step: advance past the pretraining gate so the
+    # lax.cond takes the G+D branch (step < pretraining_steps is the cheaper
+    # generator-only phase and reads ~4x faster)
+    state = state.replace(step=jnp.asarray(
+        cfg.train_args.pretraining_steps * 2, jnp.int32))
 
     def light_batches(n):
         out = []
@@ -109,6 +116,22 @@ def main(argv=None):
     a_sps = args.steps / (time.perf_counter() - t0)
     report["per_step_dispatch_steps_per_sec"] = round(a_sps, 3)
     report["shapes_seen"] = sorted(shapes)
+
+    # --- A2: per-step dispatch WITH buffer donation (the trainer default) —
+    # donation may serialize dispatches through the tunnel (each call must
+    # retire the previous state's buffers before reusing them)
+    step_don = make_cached_train_step(cfg, gen, disc, cache, donate=True)
+    import jax as _jax
+
+    s = _jax.tree_util.tree_map(lambda x: x + 0, state)  # fresh, donatable copy
+    s, logs = step_don(s, batches[0][0], t_text=batches[0][1], t_mel=batches[0][2])
+    jax.device_get(logs["total_loss/generator"])
+    t0 = time.perf_counter()
+    for ks, t, m in batches[1 : args.steps + 1]:
+        s, logs = step_don(s, ks, t_text=t, t_mel=m)
+    jax.device_get(logs["total_loss/generator"])
+    report["per_step_donated_steps_per_sec"] = round(
+        args.steps / (time.perf_counter() - t0), 3)
 
     # --- B: scan-K dispatch, arena-max shapes ----------------------------
     scan_fn = make_cached_scan_step(cfg, gen, disc, cache, donate=False)
