@@ -146,10 +146,22 @@ def main():
     # headline wire; pcm16 and f32 stay for comparison
     out8 = api.synthesise_on_device(inputs, n_frames, mulaw=True)
     jax.block_until_ready(out8)
+    wl = np.asarray(out8["wav_lengths"]).astype(int)
+    # packed fetch: valid samples only (ops/mulaw.pack_valid_rows); warm the
+    # slice graph first so the timing is the transfer, not a compile
+    api.fetch_packed(out8["wav_mulaw_packed"], int(wl.sum()))
     t0 = time.perf_counter()
-    mulaw_host = np.asarray(out8["wav_mulaw"])
+    packed_host = api.fetch_packed(out8["wav_mulaw_packed"], int(wl.sum()))
     d2h_mulaw_time = time.perf_counter() - t0
-    assert mulaw_host.dtype == np.uint8
+    assert packed_host.dtype == np.uint8 and len(packed_host) == int(wl.sum())
+    offs = np.concatenate([[0], np.cumsum(wl)[:-1]])
+    t0 = time.perf_counter()
+    mulaw_host_padded = np.asarray(out8["wav_mulaw"])
+    d2h_mulaw_padded_time = time.perf_counter() - t0
+    # packed rows must equal the padded rows' valid prefixes
+    np.testing.assert_array_equal(packed_host[offs[0]:offs[0] + wl[0]],
+                                  mulaw_host_padded[0, :wl[0]])
+    mulaw_host = mulaw_host_padded
     out16 = api.synthesise_on_device(inputs, n_frames, pcm16=True)
     jax.block_until_ready(out16)
     t0 = time.perf_counter()
@@ -182,12 +194,15 @@ def main():
             "wall_seconds_per_call_incl_tunnel_sync": round(wall_time, 6),
             "best_wall_seconds_per_call": round(best_wall, 6),
             "x_realtime_wall_incl_tunnel": round(audio_secs / wall_time, 2),
-            "d2h_seconds_tunnel_mulaw": round(d2h_mulaw_time, 4),
+            "d2h_seconds_tunnel_mulaw_packed": round(d2h_mulaw_time, 4),
+            "d2h_seconds_tunnel_mulaw_padded": round(d2h_mulaw_padded_time, 4),
             "d2h_seconds_tunnel_pcm16": round(d2h_time, 4),
             "d2h_seconds_tunnel_f32": round(d2h_f32_time, 4),
+            "valid_fraction_of_padded_buffer": round(float(wl.sum()) / mulaw_host.size, 4),
             "mulaw_round_trip_snr_db": round(float(mulaw_snr_db), 2),
-            # headline tunnel-inclusive number rides the µ-law serving wire
-            # (8-bit, device-encoded); pcm16 kept for round-over-round compare
+            # headline tunnel-inclusive number rides the µ-law serving wire,
+            # device-encoded AND valid-length packed (only real samples cross
+            # the link); pcm16 kept for round-over-round compare
             "x_realtime_incl_tunnel_d2h": round(audio_secs / (wall_time + d2h_mulaw_time), 2),
             "x_realtime_incl_tunnel_d2h_pcm16": round(audio_secs / (wall_time + d2h_time), 2),
             "compute_dtype": "bfloat16",

@@ -271,10 +271,22 @@ class Batcher:
             lens = np.asarray(merged.x_lengths, dtype=float)
             ratio = float((wav_lengths / hop / np.maximum(lens, 1)).max()) / d
             self._fpt_window.append(ratio)
-            audio = np.asarray(out["wav_mulaw" if wire == "mulaw" else "wav_pcm16"])
+            wav_lengths = wav_lengths.astype(int)
+            if wire == "mulaw" and "wav_mulaw_packed" in out:
+                # packed fetch: only the valid samples cross the link (the
+                # padded buffer is typically ~3x the real audio)
+                flat = self.model.fetch_packed(
+                    out["wav_mulaw_packed"], int(wav_lengths.sum()))
+                offs = np.concatenate([[0], np.cumsum(wav_lengths)[:-1]])
+                rows = [flat[offs[j] : offs[j] + wav_lengths[j]]
+                        for j in range(len(wav_lengths))]
+            else:
+                audio = np.asarray(
+                    out["wav_mulaw" if wire == "mulaw" else "wav_pcm16"])
+                rows = [audio[j, : wav_lengths[j]] for j in range(len(wav_lengths))]
         else:
             out = self.model.synthesise(merged)
-            wav_lengths = np.asarray(out.wav_lengths)
+            wav_lengths = np.asarray(out.wav_lengths).astype(int)
             truncated = np.zeros(len(wav_lengths), bool)
             if wire == "mulaw":
                 from ..ops.mulaw import mulaw_encode_np
@@ -282,7 +294,8 @@ class Batcher:
                 audio = mulaw_encode_np(np.asarray(out.wav))
             else:
                 audio = (np.clip(np.asarray(out.wav), -1, 1) * 32767.0).astype("<i2")
-        return audio, wav_lengths.astype(int), truncated, (time.perf_counter() - t0) * 1e3
+            rows = [audio[j, : wav_lengths[j]] for j in range(len(wav_lengths))]
+        return rows, wav_lengths, truncated, (time.perf_counter() - t0) * 1e3
 
     def _loop(self):
         while True:
@@ -294,17 +307,16 @@ class Batcher:
                 # batch asked for it (mixed batches fetch pcm16 and the
                 # handler transcodes host-side for the µ-law requesters)
                 wire = "mulaw" if all(p.wants_mulaw for p in group) else "pcm16"
-                audio, wav_lengths, truncated, latency_ms = self._synthesise_batch(
+                rows, wav_lengths, truncated, latency_ms = self._synthesise_batch(
                     merged, wire=wire)
                 i = 0
                 for p in group:
                     n = p.inputs.x.shape[0]
-                    rows = np.concatenate(
-                        [audio[j, : wav_lengths[j]] for j in range(i, i + n)])
+                    joined = np.concatenate(rows[i : i + n])
                     if wire == "mulaw":
-                        p.mulaw = rows
+                        p.mulaw = joined
                     else:
-                        p.pcm16 = rows
+                        p.pcm16 = joined
                     p.sample_rate = self.model.sample_rate
                     p.latency_ms = latency_ms
                     p.truncated = bool(truncated[i : i + n].any())

@@ -103,11 +103,25 @@ class OptiSpeech:
             out["wav_pcm16"] = jnp.round(out["wav"] * 32767.0).astype(jnp.int16)
         if mulaw:
             # 8-bit µ-law wire: quarter of the f32 bytes at ~38 dB SNR
-            # (ops/mulaw.py); decode client-side with ops.mulaw.mulaw_decode
-            from ..ops.mulaw import mulaw_encode
+            # (ops/mulaw.py); decode client-side with ops.mulaw.mulaw_decode.
+            # The packed variant additionally compacts every row's valid
+            # prefix to cumulative offsets so the fetch ships ONLY real
+            # samples (the padded buffer is typically ~3x the valid audio)
+            from ..ops.mulaw import mulaw_encode, pack_valid_rows
 
-            out["wav_mulaw"] = mulaw_encode(out["wav"])
+            codes = mulaw_encode(out["wav"])
+            out["wav_mulaw"] = codes
+            packed, offs = pack_valid_rows(codes, out["wav_lengths"])
+            out["wav_mulaw_packed"] = packed
+            out["wav_offsets"] = offs
         return out
+
+    def fetch_packed(self, packed, n_valid: int, bucket: int = 65536):
+        """Fetch the valid prefix of a packed on-device code buffer as numpy,
+        slicing ON DEVICE first (one bucketed slice dispatch + one transfer
+        instead of shipping the padding)."""
+        n = min(-(-int(n_valid) // bucket) * bucket, packed.shape[0])
+        return np.asarray(jax.lax.dynamic_slice_in_dim(packed, 0, n))[: int(n_valid)]
 
     def synthesise_on_device(self, inputs: InferenceInputs, n_frames: int,
                              pcm16: bool = False, mulaw: bool = False):

@@ -31,6 +31,29 @@ def mulaw_decode(codes, mu: float = MU):
     return (np.sign(y) * ((1.0 + mu) ** np.abs(y) - 1.0) / mu).astype(np.float32)
 
 
+def pack_valid_rows(codes, lengths):
+    """Compact a padded (B, T) code matrix so each row's valid prefix sits
+    contiguously at cumulative offsets (device-side, jit-safe).
+
+    The serving fetch then ships ONLY real samples: a padded synthesis
+    buffer is typically ~3x the valid audio (power-of-two frame rungs +
+    per-row length spread), and on a bandwidth-limited device->host link
+    that padding is pure waste. Returns (packed (B*T,) with the valid data
+    in the prefix, offsets (B,)); total valid length is `lengths.sum()`.
+    Unpack row i as packed[offsets[i] : offsets[i] + lengths[i]]."""
+    import jax.numpy as jnp
+
+    b, t = codes.shape
+    lengths = lengths.astype(jnp.int32)
+    offs = jnp.cumsum(lengths) - lengths
+    t_idx = jnp.arange(t, dtype=jnp.int32)[None, :]
+    valid = t_idx < lengths[:, None]
+    pos = jnp.where(valid, offs[:, None] + t_idx, b * t)  # OOB rows drop
+    packed = jnp.zeros((b * t,), codes.dtype).at[pos.reshape(-1)].set(
+        codes.reshape(-1), mode="drop")
+    return packed, offs
+
+
 def mulaw_encode_np(wav, mu: float = MU):
     """numpy twin of `mulaw_encode` (host-side transcoding in the server's
     mixed-format batches; bit-identical to the device encode up to f32

@@ -70,6 +70,26 @@ def test_wire_fidelity_ladder():
     assert snr > snr_lin8 + 4.0, (snr, snr_lin8)
 
 
+def test_pack_valid_rows(rng):
+    """Device-side valid-prefix compaction: packed rows equal the padded
+    rows' prefixes at cumulative offsets (the serving fetch contract)."""
+    import jax
+
+    from optispeech_tpu.ops.mulaw import pack_valid_rows
+
+    codes = rng.integers(0, 256, (4, 50)).astype(np.uint8)
+    lengths = np.array([50, 3, 0, 17], np.int32)
+    packed, offs = jax.jit(pack_valid_rows)(jnp.asarray(codes), jnp.asarray(lengths))
+    packed, offs = np.asarray(packed), np.asarray(offs)
+    np.testing.assert_array_equal(offs, [0, 50, 53, 53])
+    for i in range(4):
+        np.testing.assert_array_equal(
+            packed[offs[i] : offs[i] + lengths[i]], codes[i, : lengths[i]])
+    assert packed.shape == (200,)
+    # everything past the valid total is zero
+    assert (packed[int(lengths.sum()):] == 0).all()
+
+
 def test_extremes_and_monotonicity():
     x = np.linspace(-1, 1, 2001).astype(np.float32)
     codes = mulaw_encode_np(x)
