@@ -432,7 +432,7 @@ class Trainer:
                 agg[k] = agg.get(k, 0.0) + float(v)
             n += 1
         if not n:
-            return
+            return {}
         wav_pairs = (
             self._synthesise_val_utterances(state, synth_batches, ta.val_synth_utterances)
             if want_synth and synth_batches else []
@@ -501,11 +501,13 @@ class Trainer:
                     agg["val/utmos"] = float(np.mean(utmos_score(gens16))) * n
                 except ImportError as e:
                     log.warning(f"evaluate_utmos set but unavailable: {e}")
+        out = {k: v / n for k, v in agg.items()}
         if self.is_main:
-            self.metrics.log(step, {k: v / n for k, v in agg.items()})
+            self.metrics.log(step, out)
         if wav_pairs:
             self._log_samples(step, wav_pairs)
-        log.info(f"val @ {step}: total={agg['total_loss/val_total'] / n:.4f}")
+        log.info(f"val @ {step}: total={out['total_loss/val_total']:.4f}")
+        return out
 
     def _synthesise_val_utterances(self, state, host_batches, k: int):
         """Full text->wav inference on up to `k` val utterances; returns

@@ -83,3 +83,33 @@ def test_audit_passes_on_healthy_run(tmp_path):
     assert audit["gen_subloss/val_pitch_loss"]["direction"] == "flat"
     ok, failures = campaign.quality_verdict(audit)
     assert ok, failures
+
+
+def test_audit_quality_targets_override(tmp_path):
+    """--target-mcd/--target-stoi recalibrate the gate per corpus; the same
+    run flips between PASS and FAIL only through the explicit, recorded
+    targets."""
+    rows = []
+    for m, series in {
+        "gen_subloss/val_align_loss": [5.0, 4.0, 3.9],
+        "val/mcd": [95.0, 90.0, 80.0],
+        "val/stoi": [0.2, 0.25, 0.30],
+    }.items():
+        for step, v in zip((250, 500, 1000), series):
+            rows.append((step, m, v))
+    _write_metrics(tmp_path, rows)
+
+    # default bars: mcd 80 > 75 and stoi 0.30 < 0.45 both fail
+    audit = campaign.audit_metrics(tmp_path, disc_on_step=500)
+    ok, failures = campaign.quality_verdict(audit)
+    assert not ok and len(failures) == 2
+
+    # recalibrated bars for this corpus: both met
+    targets = {"val/mcd": ("<=", 82.0), "val/stoi": (">=", 0.28)}
+    audit = campaign.audit_metrics(tmp_path, disc_on_step=500,
+                                   quality_targets=targets)
+    assert audit["val/mcd"]["quality_target"] == "<= 82.0"
+    assert audit["val/mcd"]["quality_met"] is True
+    assert audit["val/stoi"]["quality_met"] is True
+    ok, failures = campaign.quality_verdict(audit, quality_targets=targets)
+    assert ok, failures
