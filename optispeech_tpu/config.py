@@ -106,6 +106,16 @@ class VocoderConfig:
     drop_path: float = 0.1
     # inference-only fused Pallas trunk (ops/pallas_convnext.py); ignored off-TPU
     fused_pallas: bool = False
+    # Condition the vocoder directly on frame-level pitch (normalized domain):
+    # teacher-forced GT frames in training, duration-expanded predictor output
+    # (x p_factor) at inference. The reference already PASSES f0 to every
+    # vocoder (generator/__init__.py:161) — WaveNeXt ignores it there, only the
+    # unfinished streaming_hifigan consumed it — but with the reference's
+    # detached-vocoder training the pitch EMBEDDING pathway (modules/core.py:
+    # 136-178) is unlearnable by the renderer: measured across three campaigns
+    # (docs/evidence/campaign_r3, _r4, _r4b) rendered F0 never follows
+    # p_factor. Direct conditioning closes the d/p/e control contract.
+    f0_cond: bool = False
 
 
 @dataclass(frozen=True)

@@ -99,9 +99,19 @@ def export_model(
             exports[ek] = jexport.export(jax.jit(encode_fn))(*args).serialize()
 
             for mb in mels:
-                def decode_fn(params, hidden, durations, x_mask, y_lengths):
-                    return gen.apply({"params": params}, hidden, durations, x_mask,
-                                     y_lengths, mb, method=OptiSpeechGenerator.decode)
+                if model.cfg.generator.vocoder.f0_cond:
+                    def decode_fn(params, hidden, durations, x_mask, y_lengths, pitch):
+                        return gen.apply({"params": params}, hidden, durations, x_mask,
+                                         y_lengths, mb, pitch=pitch,
+                                         method=OptiSpeechGenerator.decode)
+
+                    f0_inputs = (jax.ShapeDtypeStruct((nb, tb), jnp.float32),)
+                else:
+                    def decode_fn(params, hidden, durations, x_mask, y_lengths):
+                        return gen.apply({"params": params}, hidden, durations, x_mask,
+                                         y_lengths, mb, method=OptiSpeechGenerator.decode)
+
+                    f0_inputs = ()
 
                 dargs = (
                     params,
@@ -109,6 +119,7 @@ def export_model(
                     jax.ShapeDtypeStruct((nb, tb), jnp.int32),
                     jax.ShapeDtypeStruct((nb, tb), jnp.bool_),
                     jax.ShapeDtypeStruct((nb,), jnp.int32),
+                    *f0_inputs,
                 )
                 dk = (f"decode_{tb}_{mb}" if nb == 1 else f"decode_{tb}_{mb}_b{nb}")
                 exports[dk] = jexport.export(jax.jit(decode_fn))(*dargs).serialize()
@@ -139,6 +150,7 @@ def export_model(
             "num_speakers": model.cfg.generator.num_speakers,
             "num_languages": model.cfg.generator.num_languages,
             "has_speaker_inputs": has_spk_inputs,
+            "f0_cond": model.cfg.generator.vocoder.f0_cond,
         },
         "buckets": sorted({
             int(k.split("_")[1]) for k in exports if k.startswith("encode")
@@ -167,6 +179,7 @@ def _export_stream_graphs(exports, model, text_buckets, frames_per_token,
     dim = model.cfg.generator.dim
     mel_bucket_size = model.mel_bucket
     window = chunk_frames + 2 * overlap
+    f0_cond = model.cfg.generator.vocoder.f0_cond
 
     for tb in text_buckets:
         mb = round_up_to_bucket(tb * frames_per_token, mel_bucket_size)
@@ -180,7 +193,13 @@ def _export_stream_graphs(exports, model, text_buckets, frames_per_token,
                 enc["hidden"], enc["durations"].astype(jnp.float32), y_mask,
                 enc["x_mask"],
             )
-            return {"frames": frames, "y_lengths": y_lengths}
+            out = {"frames": frames, "y_lengths": y_lengths}
+            if f0_cond:
+                from ..ops import expand_by_duration
+
+                f0, _ = expand_by_duration(enc["pitch"][..., None], enc["durations"], mb)
+                out["f0_frames"] = f0[..., 0] * y_mask.astype(f0.dtype)
+            return out
 
         if has_spk_inputs:
             fn = upsample_fn
@@ -205,21 +224,38 @@ def _export_stream_graphs(exports, model, text_buckets, frames_per_token,
             jexport.export(jax.jit(fn))(*args).serialize()
         )
 
-    def chunk_fn(params, window_frames, window_padding_mask):
-        return gen.apply(
-            {"params": params}, window_frames, window_padding_mask,
-            method=lambda m, f, pm:
-                m.vocoder(m.decoder(f, pm, deterministic=True),
-                          padding_mask=pm, deterministic=True),
-        )
+    if f0_cond:
+        def chunk_fn(params, window_frames, window_f0, window_padding_mask):
+            return gen.apply(
+                {"params": params}, window_frames, window_f0, window_padding_mask,
+                method=lambda m, f, f0, pm:
+                    m.vocoder(m.decoder(f, pm, deterministic=True),
+                              f0=f0, padding_mask=pm, deterministic=True),
+            )
 
-    cargs = (
-        params,
-        jax.ShapeDtypeStruct((1, window, dim), jnp.float32),
-        jax.ShapeDtypeStruct((1, window), jnp.bool_),
-    )
+        cargs = (
+            params,
+            jax.ShapeDtypeStruct((1, window, dim), jnp.float32),
+            jax.ShapeDtypeStruct((1, window), jnp.float32),
+            jax.ShapeDtypeStruct((1, window), jnp.bool_),
+        )
+    else:
+        def chunk_fn(params, window_frames, window_padding_mask):
+            return gen.apply(
+                {"params": params}, window_frames, window_padding_mask,
+                method=lambda m, f, pm:
+                    m.vocoder(m.decoder(f, pm, deterministic=True),
+                              padding_mask=pm, deterministic=True),
+            )
+
+        cargs = (
+            params,
+            jax.ShapeDtypeStruct((1, window, dim), jnp.float32),
+            jax.ShapeDtypeStruct((1, window), jnp.bool_),
+        )
     exports[f"stream_decode_{window}"] = jexport.export(jax.jit(chunk_fn))(*cargs).serialize()
-    return {"chunk_frames": chunk_frames, "overlap": overlap, "window": window}
+    return {"chunk_frames": chunk_frames, "overlap": overlap, "window": window,
+            "f0_cond": f0_cond}
 
 
 class ExportedOptiSpeech:
@@ -383,8 +419,11 @@ class ExportedOptiSpeech:
         y_max = int(y_len[:count].max())
         mb = next((m for m in decs if m >= y_max), decs[-1])
         y_lengths = np.minimum(y_len, mb).astype(np.int32)
+        f0_args = ((np.asarray(enc["pitch"]),)
+                   if self.metadata["inference"].get("f0_cond") else ())
         dec = self._graph("decode", tb, nb, mb).call(
-            self.params, enc["hidden"], enc["durations"], enc["x_mask"], y_lengths
+            self.params, enc["hidden"], enc["durations"], enc["x_mask"], y_lengths,
+            *f0_args,
         )
         wav = np.asarray(dec["wav"])
         wav_lengths = np.asarray(dec["wav_lengths"])
@@ -448,12 +487,19 @@ class ExportedStreamingSynthesiser:
         if max_frames is not None:
             total = min(total, max_frames)
 
+        f0_cond = self.m.stream_meta.get("f0_cond", False)
         dim = frames.shape[-1]
         frames = np.concatenate([
             np.zeros((1, self.overlap, dim), frames.dtype),
             frames,
             np.zeros((1, self.window, dim), frames.dtype),
         ], axis=1)
+        if f0_cond:
+            f0 = np.asarray(out["f0_frames"])
+            f0 = np.concatenate([
+                np.zeros((1, self.overlap), f0.dtype), f0,
+                np.zeros((1, self.window), f0.dtype),
+            ], axis=1)
         pos0 = np.arange(self.window)
         start = 0
         while start < total:
@@ -461,7 +507,9 @@ class ExportedStreamingSynthesiser:
             window = frames[:, start : start + self.window]
             pos = pos0 + (start - self.overlap)
             pad_mask = ((pos < 0) | (pos >= total))[None, :]
-            wav = np.asarray(self._decode.call(self.m.params, window, pad_mask))
+            dargs = ((window, f0[:, start : start + self.window]) if f0_cond
+                     else (window,))
+            wav = np.asarray(self._decode.call(self.m.params, *dargs, pad_mask))
             s = self.overlap * self.hop
             yield wav[0, s : s + emit * self.hop]
             start += emit

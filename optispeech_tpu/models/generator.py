@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..config import GeneratorConfig
 from ..ops import (
     average_by_duration,
+    expand_by_duration,
     gaussian_upsample,
     get_random_segments,
     get_segments,
@@ -116,7 +117,7 @@ class OptiSpeechGenerator(nn.Module):
             input_channels=c.dim, dim=v.dim, intermediate_dim=v.intermediate_dim,
             num_layers=v.num_layers, n_fft=c.features.n_fft, hop_length=c.features.hop_length,
             sample_rate=c.features.sample_rate, drop_path=v.drop_path,
-            fused_pallas=v.fused_pallas, dtype=self.dtype,
+            fused_pallas=v.fused_pallas, f0_cond=v.f0_cond, dtype=self.dtype,
         )
         if c.num_speakers > 1:
             self.sid_embed = nn.Embed(c.num_speakers, c.dim, dtype=self.dtype)
@@ -257,18 +258,29 @@ class OptiSpeechGenerator(nn.Module):
         `encode`/`decode` pair trades one scalar sync for exact bucketing)."""
         enc = self.encode(x, x_lengths, sids, lids, d_factor, p_factor, e_factor)
         y_lengths = jnp.minimum(enc["y_lengths"], n_frames)
-        dec = self.decode(enc["hidden"], enc["durations"], enc["x_mask"], y_lengths, n_frames)
+        dec = self.decode(enc["hidden"], enc["durations"], enc["x_mask"], y_lengths, n_frames,
+                          pitch=enc["pitch"])
         return {**dec, "durations": enc["durations"], "pitch": enc["pitch"],
                 "energy": enc["energy"], "y_lengths": y_lengths}
 
     # -- inference stage 2: frame rate --------------------------------------
-    def decode(self, hidden, durations, x_mask, y_lengths, n_frames: int):
+    def decode(self, hidden, durations, x_mask, y_lengths, n_frames: int, pitch=None):
         """Upsample -> decoder -> vocoder (reference :258-283). `n_frames` is
-        the static mel bucket chosen by the host from y_lengths."""
+        the static mel bucket chosen by the host from y_lengths.
+
+        `pitch`: token-level predictor output (p_factor already applied by
+        `encode`); required when the vocoder is f0-conditioned — it is
+        duration-expanded to frame level, mirroring the teacher-forced frame
+        pitch the vocoder saw in training."""
         y_mask = sequence_mask(y_lengths, n_frames)
         target_padding_mask = ~y_mask
         y = gaussian_upsample(hidden, durations.astype(jnp.float32), y_mask, x_mask)
         y = self.decoder(y, target_padding_mask, deterministic=True)
-        wav = self.vocoder(y, padding_mask=target_padding_mask, deterministic=True)
+        f0_frames = None
+        if self.cfg.vocoder.f0_cond:
+            f0_frames, _ = expand_by_duration(pitch[..., None], durations, n_frames)
+            f0_frames = f0_frames[..., 0] * y_mask.astype(f0_frames.dtype)
+        wav = self.vocoder(y, f0=f0_frames, padding_mask=target_padding_mask,
+                           deterministic=True)
         wav_lengths = y_lengths * self.cfg.features.hop_length
         return {"wav": wav.astype(jnp.float32), "wav_lengths": wav_lengths}

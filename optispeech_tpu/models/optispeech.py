@@ -84,10 +84,11 @@ class OptiSpeech:
             d_factor, p_factor, e_factor, method=OptiSpeechGenerator.encode,
         )
 
-    def _decode_fn(self, params, hidden, durations, x_mask, y_lengths, n_frames):
+    def _decode_fn(self, params, hidden, durations, x_mask, y_lengths, n_frames,
+                   pitch=None):
         return self.generator.apply(
             {"params": params}, hidden, durations, x_mask, y_lengths, n_frames,
-            method=OptiSpeechGenerator.decode,
+            pitch=pitch, method=OptiSpeechGenerator.decode,
         )
 
     def _fixed_fn(self, params, x, x_lengths, sids, lids, d_factor, p_factor,
@@ -235,6 +236,7 @@ class OptiSpeech:
         dec = self._decode_jit(
             self.params, enc["hidden"], enc["durations"], enc["x_mask"],
             jnp.asarray(y_lengths.astype(np.int32)), n_frames,
+            pitch=enc["pitch"] if self.cfg.generator.vocoder.f0_cond else None,
         )
         wav = np.asarray(dec["wav"])
         wav_lengths = np.asarray(dec["wav_lengths"])

@@ -7,7 +7,12 @@ layers by default) -> Linear(dim -> n_fft+2) -> Linear(n_fft+2 -> hop, no bias)
 
 The two head matmuls are the inference FLOPs hot spot; they are plain Dense
 layers so XLA fuses them onto the MXU with the trunk. The `f0` conditioning
-argument is accepted and unused, matching the reference (wavenext/__init__.py:82-86).
+argument is accepted and, by default, unused — matching the reference
+(wavenext/__init__.py:82-86). With `f0_cond=True` the frame-level pitch
+(normalized domain, as the training pipeline ships it) is embedded by a small
+conv and added to the trunk input: the renderer then has a direct, learnable
+F0 channel instead of having to recover pitch from the detached decoder
+features (see VocoderConfig.f0_cond in config.py for the campaign evidence).
 """
 
 from typing import Optional
@@ -49,12 +54,22 @@ class WaveNeXt(nn.Module):
     # (T, intermediate_dim=1152) MLP activation stays in VMEM (VERDICT r1
     # item 4; A/B'd in bench.py detail). Training always uses the XLA path.
     fused_pallas: bool = False
+    f0_cond: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, f0=None, padding_mask=None, deterministic: bool = True):
-        """x: (B, T, input_channels) frame features -> (B, T*hop) waveform."""
+        """x: (B, T, input_channels) frame features -> (B, T*hop) waveform.
+
+        f0: frame-level pitch, any of (B, T) / (B, 1, T) / (B, T, 1) —
+        consumed only when `f0_cond` is on (required then)."""
         x = nn.Conv(self.dim, (7,), padding=3, dtype=self.dtype, name="embed")(x)
+        if self.f0_cond:
+            if f0 is None:
+                raise ValueError("WaveNeXt(f0_cond=True) requires the f0 argument")
+            f0 = jnp.reshape(f0, (x.shape[0], x.shape[1], 1)).astype(x.dtype)
+            x = x + nn.Conv(self.dim, (3,), padding=1, dtype=self.dtype,
+                            name="f0_embed")(f0)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         fused = self.fused_pallas and deterministic
         x = ConvNeXtBackbone(
