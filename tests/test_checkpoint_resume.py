@@ -66,3 +66,63 @@ def test_loader_state_retained_per_step(tmp_path, rng):
     assert mgr.loader_state(2) == {"epoch": 2, "pos": 20}
     assert mgr.loader_state(3) == {"epoch": 3, "pos": 30}
     assert mgr.loader_state(1) is None  # pruned along with checkpoint 1
+
+
+def test_packed_device_get_matches_device_get():
+    """packed_device_get (few large transfers, VERDICT r4 item 6) is
+    bit-identical to jax.device_get on a mixed-dtype, mixed-shape pytree
+    including scalars and non-array leaves."""
+    import jax.numpy as jnp
+
+    from optispeech_tpu.training.checkpoint import packed_device_get
+
+    k = jax.random.PRNGKey(3)
+    tree = {
+        "a": jax.random.normal(k, (7, 5)),
+        "b": {"c": jnp.arange(11, dtype=jnp.int32), "d": jnp.float32(2.5)},
+        "rng": jax.random.PRNGKey(9),
+        "none": None,
+        "pyint": 4,
+        "scalar0d": jnp.zeros((), jnp.int32),
+    }
+    ref = jax.device_get(tree)
+    got = packed_device_get(tree)
+    flat_r, td_r = jax.tree_util.tree_flatten(ref)
+    flat_g, td_g = jax.tree_util.tree_flatten(got)
+    assert td_r == td_g
+    for r, g in zip(flat_r, flat_g):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+        assert np.asarray(r).dtype == np.asarray(g).dtype
+        assert np.asarray(r).shape == np.asarray(g).shape
+
+
+def test_async_save_survives_donation(tmp_path, rng):
+    """The background save snapshots the state BEFORE returning: a donating
+    train step that invalidates the old state's buffers immediately after
+    save() must not corrupt the checkpoint, and the restored state must be
+    the pre-donation one."""
+    cfg = dataclasses.replace(tiny_experiment(pretraining_steps=0), ckpt_keep=2)
+    generator = OptiSpeechGenerator(cfg.generator)
+    discriminator = VocosDiscriminator(cfg.discriminator, cfg.generator.features)
+    state = init_train_state(cfg, generator, discriminator, jax.random.PRNGKey(0))
+    step_fn = make_train_step(cfg, generator, discriminator, donate=True)
+    batch = synth_batch(rng, cfg, b=4)
+
+    state, _ = step_fn(state, batch)
+    saved_g = jax.device_get(state.g_params)  # pre-donation reference copy
+
+    mgr = TrainCheckpointManager(str(tmp_path / "ck"), keep=2)
+    mgr.save(1, state, cfg)          # returns quickly; fetch runs in background
+    state, _ = step_fn(state, batch)  # donates (deletes) the saved state's buffers
+    mgr.wait()
+
+    template = jax.device_get(
+        init_train_state(cfg, generator, discriminator, jax.random.PRNGKey(0))
+    )
+    restored, step = mgr.restore(template)
+    assert step == 1
+    ok = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+        saved_g, restored.g_params,
+    ))
+    assert ok
