@@ -15,3 +15,24 @@ GAN with Vocos-style discriminators) for TPU hardware:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+_plat = _os.environ.get("JAX_PLATFORMS")
+if _plat and _plat != "axon":
+    # Restore standard JAX semantics for the JAX_PLATFORMS env var: the
+    # harness image's sitecustomize force-sets jax_platforms="axon,cpu" via
+    # jax.config in EVERY interpreter, which silently overrides the env var.
+    # Consequence before this guard: any test that launches a cli.train
+    # SUBPROCESS under JAX_PLATFORMS=cpu (sweep e2e, preemption) actually ran
+    # its training on the real TPU chip — slow, and racing whatever the TPU
+    # was doing. Only applied when the env var asks for something other than
+    # the image default ("axon"), so production TPU runs keep the
+    # sitecustomize-provided cpu fallback platform.
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+del _os, _plat
