@@ -29,6 +29,11 @@ Sweep spec YAML:
       min_evals: 2                # evals before a trial is prunable
       min_completed: 2            # completed trials before pruning activates
       poll_s: 5                   # metrics.jsonl poll interval
+    constraints:                  # optional winner filter (VERDICT r4 item 3):
+      - {metric: "val/f1_score", op: ">=", value: 0.15}
+      # a trial whose FINAL value violates any constraint cannot win, however
+      # good its objective — e.g. a voicing floor keeps a low-MCD-but-unvoiced
+      # collapse (campaign_r4c mode) from being declared the best trial
 
 Trial pruning is the median stopping rule (Golovin et al. 2017): a running
 trial is SIGTERMed (the trainer checkpoints and exits cleanly) once its
@@ -184,15 +189,50 @@ def run_trial(i: int, spec: dict, draw: dict, trial_dir: str,
     value = read_objective(trial_dir, metric)
     if proc.returncode != 0 and not pruned:
         log.warning(f"trial {i} failed rc={proc.returncode}")
+    # final values of every constraint metric, recorded as evidence
+    extra = {
+        c["metric"]: read_objective(trial_dir, c["metric"])
+        for c in spec.get("constraints", []) or []
+    }
     return {
         "trial": i, "params": draw, "objective": value,
         "returncode": 0 if pruned else proc.returncode, "pruned": pruned,
-        "out_dir": trial_dir,
+        "out_dir": trial_dir, **({"constraint_metrics": extra} if extra else {}),
     }
 
 
-def best_of(results: list[dict], direction: str) -> dict | None:
+def _meets(value, op: str, target: float) -> bool:
+    if value is None:
+        return False
+    return {
+        ">=": value >= target, "<=": value <= target,
+        ">": value > target, "<": value < target,
+    }[op]
+
+
+def satisfies_constraints(result: dict, constraints: list[dict]) -> bool:
+    """A trial can win only if the FINAL value of every constraint metric
+    meets its bound (metrics read from the trial dir; results rows written by
+    a pre-constraint sweep are re-read on demand)."""
+    for c in constraints or []:
+        value = (result.get("constraint_metrics") or {}).get(c["metric"])
+        if value is None:
+            value = read_objective(result["out_dir"], c["metric"])
+        if not _meets(value, c.get("op", ">="), float(c["value"])):
+            return False
+    return True
+
+
+def best_of(results: list[dict], direction: str,
+            constraints: list[dict] | None = None) -> dict | None:
     scored = [r for r in results if r.get("objective") is not None and r["returncode"] == 0]
+    if constraints:
+        ok = [r for r in scored if satisfies_constraints(r, constraints)]
+        for r in scored:
+            if r not in ok:
+                log.info(f"trial {r['trial']}: excluded by constraints "
+                         f"({r.get('constraint_metrics')})")
+        scored = ok
     if not scored:
         return None
     key = lambda r: r["objective"]
@@ -254,9 +294,10 @@ def main(argv=None):
             log.info(f"trial {i}: objective={result['objective']}"
                      + (" (pruned)" if result.get("pruned") else ""))
 
-    best = best_of(results, direction)
+    best = best_of(results, direction, constraints=spec.get("constraints"))
     if best is None:
-        raise SystemExit("no trial produced the objective metric")
+        raise SystemExit("no trial produced the objective metric "
+                         "(or every trial violated the constraints)")
     print(json.dumps({"best_trial": best["trial"], "objective": best["objective"],
                       "params": best["params"], "out_dir": best["out_dir"]}))
     return best

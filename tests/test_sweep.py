@@ -151,3 +151,28 @@ def test_two_trial_sweep_end_to_end(tmp_path, capsys):
     main([str(spec_path), "--out-dir", str(out), "--report"])
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["best_trial"] == best["trial"]
+
+
+def test_best_of_constraints(tmp_path):
+    """A trial violating a constraint (e.g. the voicing floor, VERDICT r4
+    item 3) cannot win regardless of its objective; constraint metrics are
+    read from the trial dir when the results row lacks them."""
+    import os
+
+    rows = []
+    for i, (mcd, f1) in enumerate([(50.0, 0.05), (60.0, 0.4), (70.0, 0.9)]):
+        d = tmp_path / f"trial_{i:03d}"
+        os.makedirs(d)
+        with open(d / "metrics.jsonl", "w") as f:
+            f.write(json.dumps({"step": 100, "val/mcd": mcd, "val/f1_score": f1}) + "\n")
+        rows.append({"trial": i, "objective": mcd, "returncode": 0,
+                     "out_dir": str(d), "params": {}})
+    cons = [{"metric": "val/f1_score", "op": ">=", "value": 0.3}]
+    # trial 0 has the best mcd but fails the f1 floor -> trial 1 wins
+    best = best_of(rows, "min", constraints=cons)
+    assert best["trial"] == 1
+    # without constraints trial 0 wins
+    assert best_of(rows, "min")["trial"] == 0
+    # all excluded -> None
+    assert best_of(rows, "min", constraints=[
+        {"metric": "val/f1_score", "op": ">=", "value": 0.95}]) is None
