@@ -113,3 +113,72 @@ def test_audit_quality_targets_override(tmp_path):
     assert audit["val/stoi"]["quality_met"] is True
     ok, failures = campaign.quality_verdict(audit, quality_targets=targets)
     assert ok, failures
+
+
+def test_voicing_collapse_fails_gate(tmp_path):
+    """VERDICT r4 weak 4: an r4c-style voicing collapse after disc-on
+    (f1 0.86->0.35, periodicity 0.48->0.80) must FAIL the gate even when
+    mcd/stoi targets are met; r4b's healthy dip-and-recover
+    (f1 0.86->0.755 = -12%) must pass the voicing rule."""
+    collapse = []
+    for m, series in {
+        "val/f1_score": [0.86, 0.86, 0.35],
+        "val/periodicity_loss": [0.50, 0.48, 0.80],
+        "val/mcd": [90.0, 80.0, 70.0],
+        "val/stoi": [0.3, 0.42, 0.5],
+    }.items():
+        for step, v in zip((250, 500, 1000), series):
+            collapse.append((step, m, v))
+    _write_metrics(tmp_path, collapse)
+    audit = campaign.audit_metrics(tmp_path, disc_on_step=500)
+    ok, failures = campaign.quality_verdict(audit)
+    assert not ok
+    joined = "\n".join(failures)
+    assert "val/f1_score" in joined and "voicing-collapse" in joined
+    assert "val/periodicity_loss" in joined
+
+    healthy = [r for r in collapse if r[1] not in ("val/f1_score", "val/periodicity_loss")]
+    for step, v in zip((250, 500, 1000), [0.86, 0.86, 0.755]):
+        healthy.append((step, "val/f1_score", v))
+    for step, v in zip((250, 500, 1000), [0.81, 0.70, 0.45]):
+        healthy.append((step, "val/periodicity_loss", v))
+    _write_metrics(tmp_path, healthy)
+    audit = campaign.audit_metrics(tmp_path, disc_on_step=500)
+    ok, failures = campaign.quality_verdict(audit)
+    assert ok, failures
+
+
+def test_derive_targets_from_calibration(tmp_path):
+    """Gate targets come from the measured re-synthesis ceiling via the
+    stated _GATE_FRACTIONS (VERDICT r4 item 4)."""
+    import json
+
+    cal = tmp_path / "gate_calibration.json"
+    cal.write_text(json.dumps({
+        "method": "test", "n_utts": 4, "f0_jitter": 0.2,
+        "ceiling": {"mcd": 60.0, "stoi": 0.70, "periodicity_loss": 0.30,
+                    "f1_score": 0.90},
+        "per_utt": [],
+    }))
+    targets, derivation = campaign.derive_targets(cal)
+    assert targets["val/mcd"] == ("<=", 96.0)          # 1.60 x 60
+    assert targets["val/stoi"] == (">=", 0.294)        # 0.42 x 0.70
+    assert targets["val/f1_score"] == (">=", 0.72)     # 0.80 x 0.90
+    assert targets["val/periodicity_loss"] == ("<=", 0.45)  # 1.5 x 0.30
+    assert "ceiling" in derivation["val/mcd"]
+
+    # end-to-end through the verdict: a run beating all derived targets and
+    # holding voicing passes
+    rows = []
+    for m, series in {
+        "val/mcd": [90.0, 80.0, 70.0],
+        "val/stoi": [0.40, 0.50, 0.60],
+        "val/f1_score": [0.70, 0.80, 0.80],
+        "val/periodicity_loss": [0.50, 0.44, 0.40],
+    }.items():
+        for step, v in zip((250, 500, 1000), series):
+            rows.append((step, m, v))
+    _write_metrics(tmp_path, rows)
+    audit = campaign.audit_metrics(tmp_path, disc_on_step=500, quality_targets=targets)
+    ok, failures = campaign.quality_verdict(audit, quality_targets=targets)
+    assert ok, failures
