@@ -151,6 +151,14 @@ class GeneratorConfig:
     features: FeatureConfig = field(default_factory=FeatureConfig)
     num_speakers: int = 1
     num_languages: int = 1
+    # Reference behavior (generator/__init__.py:161): the vocoder trains on
+    # STOP-GRADIENT decoder output, so mel/adversarial losses never reach the
+    # acoustic model. The r4b root-cause analysis (docs/evidence/campaign_r4b)
+    # argues this detach is why the hidden-stream pitch pathway stays
+    # unlearnable by the renderer. False = config-flagged DEVIATION from the
+    # reference: the waveform losses backpropagate through decoder, variance
+    # predictors, and encoder.
+    detach_vocoder_input: bool = True
 
 
 @dataclass(frozen=True)

@@ -198,8 +198,12 @@ class OptiSpeechGenerator(nn.Module):
             )
         else:
             seg = get_segments(jnp.swapaxes(y, 1, 2), start_idx, segment_size)
-        # vocoder trains on detached decoder output (reference :161)
-        seg = jax.lax.stop_gradient(jnp.swapaxes(seg, 1, 2))  # (B, S, C)
+        # vocoder trains on detached decoder output (reference :161) unless
+        # cfg.detach_vocoder_input=False (config-flagged deviation — see
+        # config.py GeneratorConfig); f0 is teacher-forced GT data either way
+        seg = jnp.swapaxes(seg, 1, 2)  # (B, S, C)
+        if c.detach_vocoder_input:
+            seg = jax.lax.stop_gradient(seg)
         f0_cond = get_segments(pitches[:, None, :], start_idx, segment_size)
         wav_hat = self.vocoder(
             seg, f0=jax.lax.stop_gradient(f0_cond), deterministic=deterministic

@@ -40,40 +40,60 @@ class StreamingSynthesiser:
         self.window = chunk_frames + 2 * overlap
         self.hop = api.hop_length
 
-        f0_cond = self.gen.cfg.vocoder.f0_cond
+        f0_cond = self.f0_cond = self.gen.cfg.vocoder.f0_cond
 
-        def upsample_fn(params, x, x_lengths, sids, lids, d, p, e, n_frames):
-            enc = self.gen.apply(
-                {"params": params}, x, x_lengths, sids, lids, d, p, e,
-                method=OptiSpeechGenerator.encode,
-            )
-            y_lengths = jnp.minimum(enc["y_lengths"], n_frames)
-            y_mask = sequence_mask(y_lengths, n_frames)
-            frames = gaussian_upsample(
-                enc["hidden"], enc["durations"].astype(jnp.float32), y_mask, enc["x_mask"]
-            )
-            if f0_cond:
+        # the two jits branch on f0_cond at CONSTRUCTION time so an
+        # unconditioned model keeps the original 2-output/3-arg signatures —
+        # mirroring export/exporter.py's stream graphs: same graph shapes,
+        # same compile-cache keys, and no dead zeros traffic (ADVICE r4)
+        if f0_cond:
+            def upsample_fn(params, x, x_lengths, sids, lids, d, p, e, n_frames):
+                enc = self.gen.apply(
+                    {"params": params}, x, x_lengths, sids, lids, d, p, e,
+                    method=OptiSpeechGenerator.encode,
+                )
+                y_lengths = jnp.minimum(enc["y_lengths"], n_frames)
+                y_mask = sequence_mask(y_lengths, n_frames)
+                frames = gaussian_upsample(
+                    enc["hidden"], enc["durations"].astype(jnp.float32), y_mask, enc["x_mask"]
+                )
                 # frame-level pitch for the f0-conditioned vocoder, expanded
                 # exactly as generator.decode does (hard repeat by duration)
                 f0, _ = expand_by_duration(
                     enc["pitch"][..., None], enc["durations"], n_frames)
                 f0 = f0[..., 0] * y_mask.astype(f0.dtype)
-            else:
-                f0 = jnp.zeros(frames.shape[:2], frames.dtype)
-            return frames, f0, y_lengths
+                return frames, f0, y_lengths
 
-        def chunk_fn(params, window_frames, window_f0, window_padding_mask):
-            # same masking semantics as the full-utterance path: frames
-            # outside the valid utterance region are PAD for both stages, so
-            # utterance-edge windows reproduce the full path's conv zero-padding
-            y = self.gen.apply(
-                {"params": params}, window_frames, window_f0, window_padding_mask,
-                method=lambda m, f, f0, pm:
-                    m.vocoder(m.decoder(f, pm, deterministic=True),
-                              f0=f0 if f0_cond else None,
-                              padding_mask=pm, deterministic=True),
-            )
-            return y
+            def chunk_fn(params, window_frames, window_f0, window_padding_mask):
+                # same masking semantics as the full-utterance path: frames
+                # outside the valid utterance region are PAD for both stages, so
+                # utterance-edge windows reproduce the full path's conv zero-padding
+                return self.gen.apply(
+                    {"params": params}, window_frames, window_f0, window_padding_mask,
+                    method=lambda m, f, f0, pm:
+                        m.vocoder(m.decoder(f, pm, deterministic=True),
+                                  f0=f0, padding_mask=pm, deterministic=True),
+                )
+        else:
+            def upsample_fn(params, x, x_lengths, sids, lids, d, p, e, n_frames):
+                enc = self.gen.apply(
+                    {"params": params}, x, x_lengths, sids, lids, d, p, e,
+                    method=OptiSpeechGenerator.encode,
+                )
+                y_lengths = jnp.minimum(enc["y_lengths"], n_frames)
+                y_mask = sequence_mask(y_lengths, n_frames)
+                frames = gaussian_upsample(
+                    enc["hidden"], enc["durations"].astype(jnp.float32), y_mask, enc["x_mask"]
+                )
+                return frames, y_lengths
+
+            def chunk_fn(params, window_frames, window_padding_mask):
+                return self.gen.apply(
+                    {"params": params}, window_frames, window_padding_mask,
+                    method=lambda m, f, pm:
+                        m.vocoder(m.decoder(f, pm, deterministic=True),
+                                  padding_mask=pm, deterministic=True),
+                )
 
         self._upsample_jit = jax.jit(upsample_fn, static_argnames=("n_frames",))
         self._chunk_jit = jax.jit(chunk_fn)
@@ -100,12 +120,16 @@ class StreamingSynthesiser:
         sids = jnp.asarray(inputs.sids.astype(np.int32)) if inputs.sids is not None else None
         lids = jnp.asarray(inputs.lids.astype(np.int32)) if inputs.lids is not None else None
 
-        frames, f0_frames, y_lengths = self._upsample_jit(
+        out = self._upsample_jit(
             self.api.params, jnp.asarray(x),
             jnp.asarray(inputs.x_lengths.astype(np.int32)), sids, lids,
             jnp.float32(inputs.d_factor), jnp.float32(inputs.p_factor),
             jnp.float32(inputs.e_factor), max_frames,
         )
+        if self.f0_cond:
+            frames, f0_frames, y_lengths = out
+        else:
+            (frames, y_lengths), f0_frames = out, None
         total = int(np.asarray(y_lengths)[0])
 
         # pad `overlap` zeros on the left and a full window on the right so
@@ -113,7 +137,8 @@ class StreamingSynthesiser:
         lpad = jnp.zeros((b, self.overlap, frames.shape[-1]), frames.dtype)
         rpad = jnp.zeros((b, self.window, frames.shape[-1]), frames.dtype)
         frames = jnp.concatenate([lpad, frames, rpad], axis=1)
-        f0_frames = jnp.concatenate([lpad[..., 0], f0_frames, rpad[..., 0]], axis=1)
+        if self.f0_cond:
+            f0_frames = jnp.concatenate([lpad[..., 0], f0_frames, rpad[..., 0]], axis=1)
 
         # window validity: position start-overlap+i is valid iff 0 <= pos < total
         pos0 = jnp.arange(self.window)
@@ -123,10 +148,13 @@ class StreamingSynthesiser:
         while start < total:
             emit = min(self.chunk, total - start)
             window = jax.lax.dynamic_slice_in_dim(frames, start, self.window, axis=1)
-            window_f0 = jax.lax.dynamic_slice_in_dim(f0_frames, start, self.window, axis=1)
             pos = pos0 + (start - self.overlap)
             pad_mask = jnp.broadcast_to((pos < 0) | (pos >= total), (b, self.window))
-            wav = self._chunk_jit(self.api.params, window, window_f0, pad_mask)
+            if self.f0_cond:
+                window_f0 = jax.lax.dynamic_slice_in_dim(f0_frames, start, self.window, axis=1)
+                wav = self._chunk_jit(self.api.params, window, window_f0, pad_mask)
+            else:
+                wav = self._chunk_jit(self.api.params, window, pad_mask)
             if wire is not None:
                 wav = self._wire_enc[wire](wav)
             pending.append((wav, self.overlap * self.hop, emit * self.hop))

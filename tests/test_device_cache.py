@@ -209,10 +209,12 @@ def test_scan_step_matches_sequential_steps(pak):
         np.asarray(logs_k["total_loss/generator"])[-1],
         np.asarray(logs_last["total_loss/generator"]), rtol=1e-5)
     # atol covers XLA fusing the scan body differently from the standalone
-    # step graph (float reassociation, observed ~2e-7 on a handful of params)
+    # step graph (float reassociation, observed ~2e-7 on a handful of params);
+    # bound set just above the observed drift (ADVICE r4: keep this guarantee
+    # tight rather than leaving 10x headroom)
     for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(s.g_params)),
                     jax.tree_util.tree_leaves(jax.device_get(s2.g_params))):
-        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=5e-7)
 
 
 @needs_native

@@ -156,3 +156,45 @@ def test_multi_speaker_multi_lang(rng):
     assert np.isfinite(float(out["loss"]))
     assert "sid_embed" in variables["params"]
     assert "lid_embed" in variables["params"]
+
+
+def test_detach_vocoder_input_flag(rng):
+    """detach_vocoder_input=False (config-flagged deviation from reference
+    generator/__init__.py:161 — see config.py) lets a waveform-domain loss
+    backpropagate into decoder AND encoder; with the default True it reaches
+    neither."""
+    import dataclasses
+
+    batch = make_batch(rng)
+    key = jax.random.PRNGKey(0)
+
+    def wav_loss_grads(detach):
+        gen_cfg = dataclasses.replace(tiny_cfg(), detach_vocoder_input=detach)
+        model = OptiSpeechGenerator(gen_cfg)
+        variables = model.init(
+            {"params": key, "dropout": key, "segment": key}, **batch, deterministic=True
+        )
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params}, **batch, deterministic=True,
+                rngs={"segment": jax.random.PRNGKey(2)},
+            )
+            return jnp.mean(jnp.abs(out["wav_hat"]))  # waveform-domain loss
+
+        return jax.grad(loss_fn)(variables["params"])
+
+    def total(g, key):
+        return jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.sum(jnp.abs(b))), g[key], 0.0
+        )
+
+    g_detached = wav_loss_grads(True)
+    assert total(g_detached, "decoder") == 0.0
+    assert total(g_detached, "encoder") == 0.0
+    assert total(g_detached, "vocoder") > 0.0
+
+    g_joint = wav_loss_grads(False)
+    assert total(g_joint, "decoder") > 0.0
+    assert total(g_joint, "encoder") > 0.0
+    assert total(g_joint, "vocoder") > 0.0
