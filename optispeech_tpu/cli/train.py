@@ -21,7 +21,9 @@ log = get_pylogger("optispeech_tpu.train")
 
 def build_loaders(cfg, synthetic: bool, overfit: int, limit: float,
                   packed_train: str = None, packed_val: str = None,
-                  device_cache: bool = False, mesh=None):
+                  device_cache: bool = False, mesh=None,
+                  cache_mel_dtype: str = "float32",
+                  cache_wav_dtype: str = "float32"):
     from ..data.datamodule import BucketedCollate, DataLoader, SyntheticDataset, TextWavDataset
 
     if packed_train:
@@ -55,6 +57,7 @@ def build_loaders(cfg, synthetic: bool, overfit: int, limit: float,
                 mel_bucket=cfg.data.mel_bucket_size,
                 max_text_len=cfg.data.max_text_len,
                 max_mel_len=cfg.data.max_mel_len,
+                mel_dtype=cache_mel_dtype, wav_dtype=cache_wav_dtype,
             )
             train = DeviceCacheLoader(
                 cache, cfg.data.batch_size, cfg.data.text_bucket_size,
@@ -120,6 +123,13 @@ def main(argv=None):
                    help="preload the packed train features into device memory "
                         "once; each step ships only integer indices "
                         "(data/device_cache.py — requires --packed-train)")
+    p.add_argument("--cache-mel-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="device-cache mel arena dtype (bfloat16 halves HBM)")
+    p.add_argument("--cache-wav-dtype", default="float32",
+                   choices=["float32", "int16"],
+                   help="device-cache wav arena dtype (int16 halves the "
+                        "largest arena — LJSpeech-scale corpora)")
     p.add_argument("--fast-dev-run", action="store_true")
     p.add_argument("--overfit", type=int, default=0, help="overfit N batches")
     p.add_argument("--limit", type=float, default=1.0, help="fraction of train data")
@@ -188,6 +198,8 @@ def main(argv=None):
         cfg, args.synthetic, args.overfit, args.limit,
         packed_train=args.packed_train, packed_val=args.packed_val,
         device_cache=args.device_cache, mesh=trainer.mesh,
+        cache_mel_dtype=args.cache_mel_dtype,
+        cache_wav_dtype=args.cache_wav_dtype,
     )
     log.info(f"Training `{cfg.run_name}` -> {out_dir}")
     state = trainer.init_or_restore_state(forced_resume_from=args.forced_resume)

@@ -192,9 +192,30 @@ class DeviceFeatureCache:
         self.d_sids = put(arena.sids) if has_sids else None
         self.d_lids = put(arena.lids) if has_lids else None
         nbytes = sum(a.nbytes for a in (x, mel, pitch, energy, wav))
+        import time
+
+        t0 = time.perf_counter()
+        # a tiny D2H, not block_until_ready: through the tunnel the latter
+        # only acks the enqueue before the first device->host transfer
+        # (CLAUDE.md timing trap), while a fetch on the ordered stream
+        # completes only after every arena H2D has landed
+        _ = np.asarray(self.d_mel_lens[:1])
+        upload_s = time.perf_counter() - t0
+        self.arena_bytes = nbytes
+        self.upload_seconds = upload_s
+        hbm = ""
+        try:  # HBM headroom after the upload (evidence for LJSpeech-scale runs)
+            stats = jax.local_devices()[0].memory_stats() or {}
+            if "bytes_in_use" in stats:
+                hbm = (f"; HBM {stats['bytes_in_use'] / 1e9:.2f}"
+                       + (f"/{stats['bytes_limit'] / 1e9:.2f}" if "bytes_limit" in stats else "")
+                       + " GB in use")
+        except Exception:
+            pass
         log.info(
             f"Device feature cache: {n} items, arenas ({t_text} text, {t_mel} mel, "
-            f"{t_wav} wav) = {nbytes / 1e9:.2f} GB on device"
+            f"{t_wav} wav) = {nbytes / 1e9:.2f} GB on device "
+            f"(upload wait {upload_s:.1f}s{hbm})"
         )
 
     def arenas(self) -> dict:
