@@ -192,17 +192,14 @@ class DeviceFeatureCache:
         self.d_sids = put(arena.sids) if has_sids else None
         self.d_lids = put(arena.lids) if has_lids else None
         nbytes = sum(a.nbytes for a in (x, mel, pitch, energy, wav))
-        import time
-
-        t0 = time.perf_counter()
-        # a tiny D2H, not block_until_ready: through the tunnel the latter
-        # only acks the enqueue before the first device->host transfer
-        # (CLAUDE.md timing trap), while a fetch on the ordered stream
-        # completes only after every arena H2D has landed
-        _ = np.asarray(self.d_mel_lens[:1])
-        upload_s = time.perf_counter() - t0
         self.arena_bytes = nbytes
-        self.upload_seconds = upload_s
+        # NO blocking sync here: the puts above are async and the upload
+        # overlaps the (minutes-long) first train-step compile. Forcing a
+        # D2H sync at this point was measured to wedge the tunneled
+        # transport into a single ~GB-scale blocking window that its
+        # watchdog kills after ~13 min (round-5 sweep trial 0, rc=-9).
+        # Honest upload timing = time from process start to first train
+        # step minus compile, or an explicit np.asarray fetch by the caller.
         hbm = ""
         try:  # HBM headroom after the upload (evidence for LJSpeech-scale runs)
             stats = jax.local_devices()[0].memory_stats() or {}
@@ -214,8 +211,7 @@ class DeviceFeatureCache:
             pass
         log.info(
             f"Device feature cache: {n} items, arenas ({t_text} text, {t_mel} mel, "
-            f"{t_wav} wav) = {nbytes / 1e9:.2f} GB on device "
-            f"(upload wait {upload_s:.1f}s{hbm})"
+            f"{t_wav} wav) = {nbytes / 1e9:.2f} GB enqueued to device{hbm}"
         )
 
     def arenas(self) -> dict:

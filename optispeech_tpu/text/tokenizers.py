@@ -134,6 +134,32 @@ class EnglishG2PTokenizer(BaseTokenizer):
         return self._encode_sentences(sentences, split_sentences), text
 
 
+class GermanG2PTokenizer(BaseTokenizer):
+    """Self-contained German G2P (text/german.py): exception lexicon +
+    context-sensitive letter-to-sound rules emitting the shared IPA
+    inventory — the second instance of the self-contained-G2P pattern that
+    replaces the reference's espeak multi-language path
+    (tokenizers.py:84-98) in this binding-free image."""
+
+    name = "de-g2p"
+    input_symbols = symbols.SYMBOL_TO_ID
+    special_symbols = dict(pad=symbols.PAD, bos=symbols.BOS, eos=symbols.EOS)
+
+    _SENT_RE = __import__("re").compile(r"[^.!?]+[.!?]*")
+
+    def __call__(self, text: str, language: str = "de", *, split_sentences: bool = True):
+        from .german import phonemize_german
+
+        text = self.preprocess_text(text, language)
+        if split_sentences:
+            parts = [m.group(0).strip() for m in self._SENT_RE.finditer(text)]
+            parts = [p for p in parts if p] or [text]
+        else:
+            parts = [text]
+        sentences = [[phonemize_german(p)] for p in parts]
+        return self._encode_sentences(sentences, split_sentences), text
+
+
 class CharacterTokenizer(BaseTokenizer):
     """Grapheme fallback: lowercased characters restricted to the symbol set.
     No reference analogue; exists so the full pipeline runs without espeak.

@@ -83,12 +83,28 @@ def main(argv=None):
     stage_t["train_s"] = round(time.time() - t0, 1)
 
     # harvest evidence
-    cache_lines = [l for l in log.read_text().splitlines() if "Device feature cache" in l]
+    logtext = log.read_text()
+    cache_lines = [l for l in logtext.splitlines() if "Device feature cache" in l]
     m = re.search(
         r"(\d+) items, arenas \((\d+) text, (\d+) mel, (\d+) wav\) = ([\d.]+) GB "
-        r"on device \(upload wait ([\d.]+)s(?:; HBM ([\d.]+)(?:/([\d.]+))? GB in use)?",
+        r"enqueued to device(?:; HBM ([\d.]+)(?:/([\d.]+))? GB in use)?",
         cache_lines[-1] if cache_lines else "",
     )
+    # startup latency evidence: cache-enqueue timestamp -> first logged step
+    # (includes the first-step compile; the upload overlaps it by design)
+    first_step_s = None
+    stamps = re.findall(r"^\[([0-9-]+ [0-9:,]+)\].*(Device feature cache|step \d+:)",
+                        logtext, re.M)
+    try:
+        from datetime import datetime
+
+        t_cache = next(datetime.strptime(s.replace(",", "."), "%Y-%m-%d %H:%M:%S.%f")
+                       for s, kind in stamps if kind == "Device feature cache")
+        t_step = next(datetime.strptime(s.replace(",", "."), "%Y-%m-%d %H:%M:%S.%f")
+                      for s, kind in stamps if kind.startswith("step"))
+        first_step_s = (t_step - t_cache).total_seconds()
+    except (StopIteration, ValueError):
+        pass
     steps_per_sec, rss_gb = [], []
     with open(out_dir / "metrics.csv") as f:
         for row in csv.DictReader(f):
@@ -109,10 +125,10 @@ def main(argv=None):
             "t_text": int(m.group(2)), "t_mel": int(m.group(3)),
             "t_wav": int(m.group(4)),
             "arena_gb": float(m.group(5)),
-            "upload_wait_s": float(m.group(6)),
-            "hbm_in_use_gb": float(m.group(7)) if m.group(7) else None,
-            "hbm_limit_gb": float(m.group(8)) if m.group(8) else None,
+            "hbm_in_use_gb": float(m.group(6)) if m.group(6) else None,
+            "hbm_limit_gb": float(m.group(7)) if m.group(7) else None,
         },
+        "enqueue_to_first_step_s": first_step_s,
         "steps_per_sec": {
             "median_steady": sorted(sp)[len(sp) // 2] if sp else None,
             "max": max(sp) if sp else None,
