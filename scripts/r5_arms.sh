@@ -19,6 +19,10 @@ seed_workdir() {  # share the r4b corpus/features/paks: matched arms, no rework
   done
   [ -e "$W/corpus" ] || cp -al runs/campaign_r4b/corpus "$W/corpus"
   [ -e "$W/pre" ] || cp -al runs/campaign_r4b/pre "$W/pre"
+  # gate calibration is a pure function of the corpus (runs/calib_r5 was
+  # computed on this exact corpus) — share it so arms don't recompute
+  [ -e "$W/gate_calibration.json" ] || \
+    cp runs/calib_r5/gate_calibration.json "$W/gate_calibration.json" 2>/dev/null || true
 }
 
 COMMON=(--n-utterances 600 --f0-jitter 0.2 --max-steps 20000 --disc-on-step 2000)
