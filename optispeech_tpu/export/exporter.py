@@ -31,6 +31,16 @@ from ..values import InferenceInputs, InferenceOutputs, numpy_pad_sequences
 
 log = get_pylogger(__name__)
 
+# Artifacts are exported for BOTH platforms so one .graphs file serves on a
+# TPU chip and on CPU-only hosts (reference's ONNX artifact is likewise
+# backend-portable, /root/reference/optispeech/onnx/export.py:20-154).
+# Single-platform export bit the round-5 campaign: exporting under
+# JAX_PLATFORMS=cpu produced a cpu-only artifact that raised
+# "exported for ('cpu',) but used on ('tpu',)" the moment the serve stage
+# loaded it on the chip. (It "worked" in round 4 only because the image's
+# sitecustomize silently overrode the exporter's cpu pin — see CLAUDE.md.)
+_EXPORT_PLATFORMS = ("cpu", "tpu")
+
 
 def export_model(
     model,
@@ -96,7 +106,8 @@ def export_model(
             # batch-1 keeps the round-2 key (`encode_{tb}`) so old runtimes
             # keep working; rungs >1 append the batch suffix
             ek = f"encode_{tb}" if nb == 1 else f"encode_{tb}_b{nb}"
-            exports[ek] = jexport.export(jax.jit(encode_fn))(*args).serialize()
+            exports[ek] = jexport.export(
+                jax.jit(encode_fn), platforms=_EXPORT_PLATFORMS)(*args).serialize()
 
             for mb in mels:
                 if model.cfg.generator.vocoder.f0_cond:
@@ -122,7 +133,8 @@ def export_model(
                     *f0_inputs,
                 )
                 dk = (f"decode_{tb}_{mb}" if nb == 1 else f"decode_{tb}_{mb}_b{nb}")
-                exports[dk] = jexport.export(jax.jit(decode_fn))(*dargs).serialize()
+                exports[dk] = jexport.export(
+                    jax.jit(decode_fn), platforms=_EXPORT_PLATFORMS)(*dargs).serialize()
 
     stream_meta = None
     if stream_chunk_frames:
@@ -221,7 +233,7 @@ def _export_stream_graphs(exports, model, text_buckets, frames_per_token,
             jax.ShapeDtypeStruct((), jnp.float32),
         )
         exports[f"stream_upsample_{tb}_{mb}"] = (
-            jexport.export(jax.jit(fn))(*args).serialize()
+            jexport.export(jax.jit(fn), platforms=_EXPORT_PLATFORMS)(*args).serialize()
         )
 
     if f0_cond:
@@ -253,7 +265,8 @@ def _export_stream_graphs(exports, model, text_buckets, frames_per_token,
             jax.ShapeDtypeStruct((1, window, dim), jnp.float32),
             jax.ShapeDtypeStruct((1, window), jnp.bool_),
         )
-    exports[f"stream_decode_{window}"] = jexport.export(jax.jit(chunk_fn))(*cargs).serialize()
+    exports[f"stream_decode_{window}"] = jexport.export(
+        jax.jit(chunk_fn), platforms=_EXPORT_PLATFORMS)(*cargs).serialize()
     return {"chunk_frames": chunk_frames, "overlap": overlap, "window": window,
             "f0_cond": f0_cond}
 

@@ -114,9 +114,17 @@ class TrainCheckpointManager:
     def __init__(self, directory: str, keep: int = 10):
         self.directory = _abs(directory)
         os.makedirs(self.directory, exist_ok=True)
+        # enable_async_checkpointing=False: orbax must be DURABLE when save()
+        # returns — the trainer's own background thread provides the async
+        # overlap (single-process), and the multi-host fit-exit barrier
+        # (trainer.py) asserts "checkpoint durable" the moment process 0
+        # reaches it. Orbax's internal async thread would outlive both.
         self.manager = ocp.CheckpointManager(
             self.directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True,
+                enable_async_checkpointing=False,
+            ),
         )
         self._worker: threading.Thread | None = None
         self._worker_error: BaseException | None = None
@@ -146,9 +154,11 @@ class TrainCheckpointManager:
         process of a multi-process mesh).
         """
         self._join_worker()
-        with open(os.path.join(self.directory, "config.json"), "w") as f:
-            json.dump({"config": to_dict(cfg)}, f, indent=2)
-        if loader_state is not None:
+        is_main = jax.process_index() == 0
+        if is_main:
+            with open(os.path.join(self.directory, "config.json"), "w") as f:
+                json.dump({"config": to_dict(cfg)}, f, indent=2)
+        if loader_state is not None and is_main:
             # data-iterator position (epoch, batch pos) so resume is
             # step-deterministic (SURVEY.md §5; Lightning's loader state).
             # One file per retained step: resuming from ANY kept checkpoint
@@ -156,8 +166,19 @@ class TrainCheckpointManager:
             with open(self._loader_state_path(step), "w") as f:
                 json.dump({"step": step, "loader": loader_state}, f)
         if jax.process_count() > 1:
+            # EVERY process must call manager.save: orbax's CheckpointManager
+            # coordinates multi-process saves internally
+            # (checkpoint_manager.py::save -> multihost.sync_global_processes,
+            # a cross-process collective barrier). A process-0-only call
+            # blocks forever in that barrier — observed as a permanent
+            # 2-process deadlock in tests/test_multihost_ckpt.py (stack:
+            # manager.save -> sync_global_processes -> gloo allgather that
+            # the non-saving process never joins). Host-side file writes
+            # above stay process-0-only; orbax routes the actual tensor
+            # writes to its primary host.
             self.manager.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
-            self._prune_loader_states(keep_step=step)
+            if is_main:
+                self._prune_loader_states(keep_step=step)
             return
         try:
             snap = snapshot_device(state)

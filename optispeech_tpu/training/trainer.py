@@ -369,7 +369,11 @@ class Trainer:
                         )
                     if val_loader is not None and step % cfg.val_every_n_steps == 0:
                         self.validate(state, val_loader, step)
-                    if (step % cfg.ckpt_every_n_steps == 0 or fast_dev_run) and self.is_main:
+                    if step % cfg.ckpt_every_n_steps == 0 or fast_dev_run:
+                        # ALL processes call save: orbax coordinates
+                        # multi-process checkpoints internally (its save()
+                        # barriers across processes; a process-0-only call
+                        # deadlocks — see TrainCheckpointManager.save)
                         self.ckpt.save(step, state, cfg, self._loader_state(train_loader))
                     if preempted.is_set():
                         raise KeyboardInterrupt("SIGTERM (preemption)")
@@ -392,14 +396,14 @@ class Trainer:
             log.info("Interrupted/preempted — saving checkpoint before exit")
         finally:
             signal.signal(signal.SIGTERM, old_handler)
-            if self.is_main:
-                try:
-                    self.ckpt.save(step, state, cfg, self._loader_state(train_loader))
-                    self.ckpt.wait()
-                except Exception:  # e.g. ctrl-C mid-step donated the buffers
-                    log.exception(
-                        "final checkpoint failed; the last periodic checkpoint stands"
-                    )
+            try:
+                # all processes: see the periodic-save comment above
+                self.ckpt.save(step, state, cfg, self._loader_state(train_loader))
+                self.ckpt.wait()
+            except Exception:  # e.g. ctrl-C mid-step donated the buffers
+                log.exception(
+                    "final checkpoint failed; the last periodic checkpoint stands"
+                )
             if jax.process_count() > 1:
                 # All processes must LEAVE fit() together: a non-main process
                 # that exits (and runs jax.distributed's atexit shutdown
@@ -407,12 +411,25 @@ class Trainer:
                 # checkpoint hits DEADLINE_EXCEEDED at the shutdown barrier —
                 # the exact flake the round-4 judge saw in
                 # tests/test_multihost_ckpt.py (1/2 tasks at the barrier).
+                #
+                # This must be a COORDINATION-SERVICE barrier (plain TCP to
+                # process 0, bounded timeout), NOT a device collective:
+                # sync_global_devices enqueues a gloo/ICI collective, and if
+                # any peer's collective stream is already broken (e.g. its
+                # train step died in gloo context init), a device collective
+                # here blocks FOREVER — observed as a permanent 2-process
+                # deadlock in tests/test_multihost_ckpt.py diagnostics
+                # (one process wedged in the failed step, the other in this
+                # finally-block sync).
                 try:
-                    from jax.experimental import multihost_utils
+                    from jax._src import distributed
 
-                    multihost_utils.sync_global_devices("optispeech_fit_exit")
+                    client = distributed.global_state.client
+                    if client is not None:
+                        client.wait_at_barrier("optispeech_fit_exit", 300_000)
                 except Exception:
-                    log.exception("fit-exit cross-process sync failed")
+                    log.exception("fit-exit cross-process barrier failed "
+                                  "(peers may have died; continuing shutdown)")
             self.metrics.close()
         return state
 

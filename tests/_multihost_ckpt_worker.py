@@ -12,9 +12,16 @@ orbax checkpoint + loader state, both processes restore on the next launch.
 The final generator params digest goes to OUT_JSON.
 """
 
+import faulthandler
 import json
 import os
 import sys
+
+# hang diagnostics: if a cohort wedges (observed: both processes futex-idle
+# >20 min under full-suite load), dump every thread's stack to stderr every
+# 5 min so the test's captured output shows WHERE (stderr is merged into the
+# test's stdout capture)
+faulthandler.dump_traceback_later(300, repeat=True, exit=False)
 
 
 def main():
@@ -42,6 +49,32 @@ def main():
         jax.distributed.initialize(
             f"localhost:{port}", num_processes=nproc, process_id=proc_id
         )
+        # Establish the 4-DEVICE gloo clique while the processes are ALIGNED.
+        # XLA's gloo rendezvous at the first collective has a fixed 30 s
+        # kv-store timeout with no knob; the two processes can reach their
+        # first big-program collective >30 s apart (observed: one process
+        # loads a cached AOT train step while the peer compiles it for
+        # ~90 s), and the early side dies with "Gloo context initialization
+        # failed: DEADLINE_EXCEEDED ... cpu:gloo/0,1,2048,2049". The
+        # coordination-service barrier is plain TCP to process 0 with a long
+        # configurable timeout — align on it, then run one tiny ALL-DEVICE
+        # collective so the 4-device clique's TCP pairs exist before the
+        # skew-prone big compiles (sync_global_devices is NOT enough: its
+        # allgather runs on the 2-rank process-level clique).
+        from jax._src import distributed as _dist
+
+        _dist.global_state.client.wait_at_barrier("gloo_warmup_align", 600_000)
+        import jax.numpy as jnp
+        import numpy as _np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as _P
+
+        _mesh = Mesh(_np.array(jax.devices()), ("d",))
+        _x = jax.make_array_from_callback(
+            (jax.device_count(),), NamedSharding(_mesh, _P("d")),
+            lambda idx: _np.ones((1,), _np.float32),
+        )
+        _y = jax.jit(jnp.sum, out_shardings=NamedSharding(_mesh, _P()))(_x)
+        assert float(_np.asarray(_y.addressable_data(0))) == jax.device_count()
     assert jax.device_count() == 4, jax.devices()
 
     import dataclasses
