@@ -38,6 +38,13 @@ def test_export_roundtrip(tmp_path):
     n = min(out.wav.shape[-1], live.wav.shape[-1])
     np.testing.assert_allclose(out.wav[0, :n], np.asarray(live.wav)[0, :n], atol=2e-3)
 
+    # every graph must be dual-platform: a single-platform artifact raises
+    # "exported for ('cpu',) but used on ('tpu',)" the moment it is served
+    # on the other backend (round-5 campaign regression; exporter
+    # _EXPORT_PLATFORMS)
+    for key, g in runtime._graphs.items():
+        assert tuple(g.platforms) == ("cpu", "tpu"), (key, g.platforms)
+
 
 def test_artifact_prewarm_touches_every_rung(tmp_path):
     """cli/serve.prewarm on an exported artifact replays every
